@@ -1,0 +1,134 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from spinterps_spark import datagen
+from spinterps_spark.operators import gapfill as G
+from spinterps_spark.operators import rollup as R
+from spinterps_spark.operators import spine as S
+
+from tests import oracle
+
+
+def _spined_tokmean(spark, n_turns=4000, tier="1h"):
+    turns = datagen.transcripts_pandas(seed=42, n_turns_target=n_turns)
+    sdf = spark.createDataFrame(turns)
+    spined = S.with_spine(R.base_rollup(sdf, tier), tier)
+    return spined.selectExpr(
+        "conv_id", "bucket_ts", "tok_len_sum / turn_cnt as tok_len_mean"
+    )
+
+
+def _oracle_filled(spark_spined_pdf, method, vg_by_conv=None, **kw):
+    rows = []
+    for conv, g in spark_spined_pdf.groupby("conv_id", sort=True):
+        g = g.sort_values("bucket_ts")
+        t = g["bucket_ts"].astype("int64").to_numpy() // 10**9
+        v = g["tok_len_mean"].to_numpy(dtype=float)
+        vg = vg_by_conv.get(conv) if vg_by_conv else None
+        out, ev, codes = oracle.fill_series_oracle(t, v, method, vg_str=vg, **kw)
+        rows.append(
+            pd.DataFrame(
+                {"conv_id": conv, "bucket_ts": g["bucket_ts"], "value_filled": out,
+                 "est_var": ev, "fill_method": codes}
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
+def _cmp(got, want):
+    got = got.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    g = got["value_filled"].to_numpy()
+    w = want["value_filled"].to_numpy()
+    # bit-for-bit equality after round(p), NaN == NaN
+    same = (g == w) | (np.isnan(g) & np.isnan(w))
+    assert same.all(), (got[~same].head(), want[~same].head())
+    assert (got["fill_method"] == want["fill_method"]).all()
+
+
+@pytest.mark.parametrize("method", ["IDW", "NNB"])
+def test_gapfill_matches_oracle(spark, method):
+    spined = _spined_tokmean(spark)
+    pdf = spined.toPandas()
+    got = G.gapfill(spined, "tok_len_mean", method=method, tier="1h").toPandas()
+    want = _oracle_filled(pdf, method)
+    _cmp(got, want)
+    assert (got["fill_method"] != "observed").sum() > 0
+
+
+def test_gapfill_ok_matches_oracle(spark):
+    spined = _spined_tokmean(spark)
+    pdf = spined.toPandas()
+    n_convs = pdf["conv_id"].nunique()
+    coords = datagen.conv_coords_spark(spark, 42, n_convs)
+    coords_pdf = coords.toPandas()
+    vg_rows = [(c, f"{1.0 + c * 0.5} Sph({3600 * (c + 1)})") for c in range(8)]
+    vg_dim = spark.createDataFrame(vg_rows, "cluster_id int, vg_str string")
+    vg_by_cluster = dict(vg_rows)
+    vg_by_conv = {
+        r.conv_id: vg_by_cluster[r.cluster_id] for r in coords_pdf.itertuples()
+    }
+    got = G.gapfill(
+        spined, "tok_len_mean", method="OK", tier="1h",
+        coords=coords, vg_dim=vg_dim,
+    ).toPandas()
+    want = _oracle_filled(pdf, "OK", vg_by_conv=vg_by_conv)
+    _cmp(got, want)
+    assert (got["fill_method"] == "ok").sum() > 0
+    ev = got.loc[got["fill_method"] == "ok", "est_var"]
+    assert (ev >= 0).all()
+
+
+def test_ok_nugget_and_sentinel_rules(spark):
+    # pure-nugget vg -> neighbor mean; '0.0 Nug(0.0)' fixture replacement rule
+    t = np.array([0, 3600, 7200, 10800, 14400], dtype=np.int64)
+    v = np.array([1.0, np.nan, 3.0, 5.0, 7.0])
+    out, ev, codes = G.fill_series(t, v, method="OK", vg_str="0.0 Nug(0.0)")
+    assert codes[1] == "nugget_mean"
+    # mean of the k nearest (all 4 refs)
+    assert out[1] == np.round(np.mean([1.0, 3.0, 5.0, 7.0]), 2)
+
+
+def test_single_ref_and_low_signal():
+    t = np.array([0, 60, 120], dtype=np.int64)
+    out, _, codes = G.fill_series(t, np.array([np.nan, 2.5, np.nan]), method="IDW")
+    assert codes[0] == "single_ref" and out[0] == 2.5
+    out, _, codes = G.fill_series(
+        t, np.array([0.01, np.nan, 0.02]), method="IDW", min_var_val_thresh=0.1
+    )
+    assert codes[1] == "low_signal_mean"
+    assert out[1] == np.round(np.mean([0.01, 0.02]), 2)
+
+
+def test_idw_within_neighbor_range():
+    # property: IDW estimate lies within [min, max] of neighbors
+    rng = np.random.RandomState(0)
+    t = np.arange(50, dtype=np.int64) * 3600
+    v = rng.uniform(1, 9, 50)
+    v[rng.choice(50, 10, replace=False)] = np.nan
+    out, _, codes = G.fill_series(t, v, method="IDW", round_p=None)
+    refs = v[~np.isnan(v)]
+    for j in np.flatnonzero(np.isnan(v)):
+        assert refs.min() - 1e-9 <= out[j] <= refs.max() + 1e-9
+
+
+def test_chunked_equals_unchunked(spark):
+    spined = _spined_tokmean(spark, n_turns=4000)
+    a = (
+        G.gapfill(spined, "tok_len_mean", method="IDW", tier="1h")
+        .toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    b = (
+        G.gapfill(
+            spined, "tok_len_mean", method="IDW", tier="1h",
+            chunk_buckets=256, pad_buckets=64,
+        )
+        .toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    ga, gb = a["value_filled"].to_numpy(), b["value_filled"].to_numpy()
+    same = (ga == gb) | (np.isnan(ga) & np.isnan(gb))
+    # pad horizon (64 buckets) >> neighbor count (8): chunked must be exact
+    assert same.all()

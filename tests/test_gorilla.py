@@ -1,0 +1,80 @@
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from spinterps_spark.compress import gorilla as GZ
+
+
+def test_known_small_vector():
+    ts = np.array([0, 60, 120, 180, 300, 301], dtype=np.int64)
+    vs = np.array([1.5, 1.5, 2.0, -3.25, np.nan, 0.0])
+    c = GZ.encode_chunk(ts, vs)
+    t2, v2 = GZ.decode_chunk(c)
+    assert (t2 == ts).all()
+    assert (v2.view(np.uint64) == vs.view(np.uint64)).all()
+
+
+def test_constant_series_compresses_hard():
+    ts = np.arange(0, 120 * 60, 60, dtype=np.int64)
+    vs = np.full(120, 42.5)
+    c = GZ.encode_chunk(ts, vs)
+    # 119 dod zeros -> ~15 bytes; 119 xor zeros -> ~15 bytes
+    assert len(c["ts_d2d"]) <= 8 + 16
+    assert len(c["vals_xor"]) <= 16
+    t2, v2 = GZ.decode_chunk(c)
+    assert (t2 == ts).all() and (v2 == vs).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=3 * 86400), min_size=0, max_size=64),
+    st.data(),
+)
+def test_roundtrip_property(deltas, data):
+    n = len(deltas) + 1
+    ts = np.cumsum([1_700_000_000] + deltas).astype(np.int64)
+    vs = np.array(
+        data.draw(
+            st.lists(
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+                min_size=n, max_size=n,
+            )
+        )
+    )
+    c = GZ.encode_chunk(ts, vs)
+    t2, v2 = GZ.decode_chunk(c)
+    assert (t2 == ts).all()
+    assert (v2.view(np.uint64) == vs.view(np.uint64)).all()
+
+
+def test_spark_chunk_roundtrip(spark):
+    rng = np.random.RandomState(1)
+    rows = []
+    for conv in ("c1", "c2"):
+        ts = pd.to_datetime(
+            1_700_000_000 + np.cumsum(rng.randint(60, 7200, 300)), unit="s"
+        )
+        vals = np.round(rng.uniform(0, 50, 300), 2)
+        rows.append(pd.DataFrame({"conv_id": conv, "bucket_ts": ts, "value_filled": vals}))
+    pdf = pd.concat(rows, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    chunks = GZ.encode_tier_chunks(df, "1h", chunk_size=120)
+    cp = chunks.toPandas()
+    assert (cp["n"] <= 120).all()
+    assert len(cp) == 2 * int(np.ceil(300 / 120))
+
+    back = (
+        GZ.decode_tier_chunks(chunks)
+        .toPandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    assert (back["bucket_ts"].to_numpy() == want["bucket_ts"].to_numpy()).all()
+    assert (back["value"].to_numpy() == want["value_filled"].to_numpy()).all()
+
+    # compression: binary payload much smaller than raw 16 bytes/point
+    raw = 16 * len(pdf)
+    enc = int((cp["ts_d2d"].str.len() + cp["vals_xor"].str.len()).sum()) + 24 * len(cp)
+    assert enc < raw

@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry       — flagship: full retention slice (1m->1h rollup cascade, spine,
+              IDW gap-fill) over the deterministic sf0.001 transcript fixture.
+queries     — one entry per implemented operator family (SURVEY.md §2),
+              each oracle-checked against DuckDB where SQL-expressible.
+oracle_sql  — matching ANSI SQL strings (DuckDB dialect) over the same
+              parquet inputs; transcript fixtures are materialized
+              deterministically under .fixtures/ and read by both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +15,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spinterps_spark import queries as _Q
+from spinterps_spark.operators import gapfill as _G
+from spinterps_spark.operators import rollup as _R
+from spinterps_spark.operators import spine as _S
+from spinterps_spark.sources import fixtures as _fx
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: gap-filled 1h token-length series for every
+    conversation (rollup cascade -> spine -> IDW temporal gap-fill)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = _fx.load_transcripts(spark, "/root/testdata/sf0.001")
+    m1 = _R.base_rollup(t, "1m", n_salt=16)
+    h1 = _R.rollup_tier(m1, "1h", min_cnt=1)
+    spined = _S.with_spine(h1, "1h")
+    ser = spined.selectExpr(
+        "conv_id", "bucket_ts", "tok_len_sum / turn_cnt AS tok_len_mean"
+    )
+    return _G.gapfill(ser, "tok_len_mean", method="IDW", tier="1h")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _Q.oracle_sql()

@@ -1,0 +1,100 @@
+"""BENCH harness: headline throughput of the retention engine.
+
+Prints ONE JSON line:
+    {"metric": "rolled_up_points_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-stage and per-query seconds...}, "sf": ...}
+
+- Engine throughput = input turns ingested through ALL retention tiers
+  (1m/1h/1d rollup + spine + IDW gap-fill + Gorilla chunks) / wall-clock,
+  on the deterministic synthetic transcript table scaled to $SPARK_GRAFT_SF_DIR.
+- Also times the headline oracle-checked queries at the same sf dir.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     SPARK_GRAFT_BENCH_TURNS (override turn volume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    # turn volume tied to sf tier (sf0.1 -> 2M turns: the bench scale from
+    # BASELINE.md; correctness at this scale is covered by the pytest oracle)
+    default_turns = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+    n_turns = int(
+        os.environ.get("SPARK_GRAFT_BENCH_TURNS", default_turns.get(sf_name, 2_000_000))
+    )
+
+    from spinterps_spark import datagen, queries as Q
+    from spinterps_spark.plans.pipeline import run_retention_pipeline
+    from spinterps_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus * 2, 16))
+    out = {}
+
+    # ---- materialize input once (generation excluded from throughput)
+    t0 = time.time()
+    gen_dir = tempfile.mkdtemp(prefix="bench_transcripts_")
+    datagen.transcripts_spark(spark, seed=42, n_turns_target=n_turns).write.mode(
+        "overwrite"
+    ).parquet(gen_dir)
+    transcripts = spark.read.parquet(gen_dir)
+    actual_turns = transcripts.count()
+    out["datagen"] = round(time.time() - t0, 3)
+
+    # ---- headline: full retention cascade
+    work_dir = tempfile.mkdtemp(prefix="bench_pipeline_")
+    t0 = time.time()
+    metrics = run_retention_pipeline(
+        spark,
+        transcripts,
+        work_dir,
+        n_salt=16,
+        n_waves=1,
+        fill_method="IDW",
+        fill_knobs={"chunk_buckets": 4096, "pad_buckets": 64},
+    )
+    pipeline_sec = time.time() - t0
+    out["pipeline_all_tiers"] = round(pipeline_sec, 3)
+    for tier, m in metrics["tiers"].items():
+        out[f"tier_{tier}"] = round(m["wall_sec"], 3)
+
+    # ---- oracle-checked operator queries at sf_dir
+    for name in (
+        "rollup_1m", "rollup_1d", "fleet_stats_1h", "idw_fill_all",
+        "pair_variogram_types", "dedup_exact", "text_quality",
+        "minhash_bands", "cosine_topk",
+    ):
+        fn = Q.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+
+    throughput = actual_turns / pipeline_sec
+    result = {
+        "metric": "rolled_up_points_per_sec",
+        "value": round(throughput, 1),
+        "unit": "sec",
+        "queries": out,
+        "sf": sf_name,
+        "n_turns": actual_turns,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    shutil.rmtree(gen_dir, ignore_errors=True)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

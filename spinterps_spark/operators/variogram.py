@@ -1,0 +1,233 @@
+"""Variogram machinery: empirical variogram -> model fit per conversation
+cluster (SURVEY.md §3.2/§3.3 graft).
+
+- Empirical variogram over *temporal* lags: within each conversation, all
+  bucket pairs (i<j) with |dt| <= max_lag contribute 0.5*(zi-zj)^2 at lag
+  |dt| (reference pair join J9 variograms/vgs.py:369-391). Pairs pool per
+  cluster, then constant-width lag bins (A5, variograms/vgs.py:444-493):
+  per bin mean lag + estimator over squared diffs. The reference's
+  'classic' estimator is a *median* (variograms/vgs.py:399-412 — preserved
+  non-standard semantics, SURVEY.md §7.3.3); 'mean' is also offered.
+- Post-processing windows (A10-A12, vgclus/evg_clus.py:180-212):
+  rolling-mean smoothing, monotone (running-max) envelope, normalization.
+- Model fit (K6, variograms/vgs.py:661-848): bounded differential evolution
+  over (sill, range) per candidate model mix, weighted SSE, AIC selection
+  n*ln(obj) + 2k (variograms/vgs.py:780). scipy is unavailable in this
+  sandbox, so a small deterministic rand/1/bin DE (public algorithm,
+  Storn & Price 1997) is implemented in numpy.
+
+Execution: the pair join + binning is pure Spark SQL (decimal-exact sums);
+the fit runs in one applyInPandas group per cluster — cluster counts are
+tiny (reference precedent: SURVEY.md §3.3 'cluster counts <= dozens').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MODEL_MIXES = (
+    ["Sph"], ["Exp"], ["Gau"], ["Lin"],
+    ["Nug", "Sph"], ["Nug", "Exp"],
+)
+
+
+def empirical_variogram(
+    series: DataFrame,
+    coords: DataFrame,
+    value_col: str,
+    max_lag: float = 48 * 3600,
+    lag_width: float = 3600.0,
+    estimator: str = "classic",
+) -> DataFrame:
+    """(conv_id, bucket_ts, value) + (conv_id, cluster_id) ->
+    (cluster_id, bin, lag, gamma, n_pairs).
+
+    Scale note: the self-join is per conversation and lag-bounded, so pair
+    count is O(rows * buckets_per_horizon), not O(rows^2); the join key is
+    conv_id (co-partitioned by the rollup shuffle).
+    """
+    s = series.select(
+        "conv_id",
+        F.unix_timestamp("bucket_ts").alias("t"),
+        F.col(value_col).cast("double").alias("z"),
+    ).where(F.col(value_col).isNotNull())
+    s = s.join(F.broadcast(coords.select("conv_id", "cluster_id")), "conv_id")
+
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.t") < F.col("b.t"))
+            & (F.col("b.t") - F.col("a.t") <= max_lag),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            (F.col("b.t") - F.col("a.t")).cast("double").alias("h"),
+            (0.5 * (F.col("a.z") - F.col("b.z")) ** 2).alias("sq"),
+        )
+    )
+    binned = pairs.groupBy(
+        "cluster_id", F.floor(F.col("h") / lag_width).alias("bin")
+    )
+    if estimator == "classic":
+        # reference 'classic' = median of squared diffs (vgs.py:410)
+        agg = binned.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum(F.col("h").cast("decimal(38,6)")).cast("double")
+             / F.count(F.lit(1))).alias("lag"),
+            F.median("sq").alias("gamma"),
+        )
+    elif estimator == "mean":
+        agg = binned.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum(F.col("h").cast("decimal(38,6)")).cast("double")
+             / F.count(F.lit(1))).alias("lag"),
+            (F.sum(F.col("sq").cast("decimal(38,10)")).cast("double")
+             / F.count(F.lit(1))).alias("gamma"),
+        )
+    else:
+        raise NotImplementedError(estimator)
+    return agg
+
+
+def smooth_and_monotone(evg: DataFrame, smooth_window: int = 3) -> DataFrame:
+    """A10 rolling-mean smoothing + A11 running-max monotone envelope,
+    ordered by lag within cluster (vgclus/evg_clus.py:180-212)."""
+    from pyspark.sql import Window as W
+
+    w_s = (
+        W.partitionBy("cluster_id").orderBy("bin")
+        .rowsBetween(-(smooth_window // 2), smooth_window // 2)
+    )
+    w_m = W.partitionBy("cluster_id").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    out = evg.withColumn("gamma_s", F.avg("gamma").over(w_s))
+    return out.withColumn("gamma_pd", F.max("gamma_s").over(w_m))
+
+
+def normalize(evg: DataFrame) -> DataFrame:
+    """A12: divide by the per-cluster mean, keep the norming value."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id")
+    out = evg.withColumn("norm_val", F.avg("gamma_pd").over(w))
+    return out.withColumn("gamma_n", F.col("gamma_pd") / F.col("norm_val"))
+
+
+# --------------------------------------------------------------- K6 fit
+
+def _de_minimize(obj, bounds: np.ndarray, seed: int, n_pop: int = 24,
+                 n_iter: int = 120, f_w: float = 0.8, cr: float = 0.9):
+    """Deterministic rand/1/bin differential evolution (Storn & Price)."""
+    rng = np.random.RandomState(seed)
+    d = len(bounds)
+    lo, hi = bounds[:, 0], bounds[:, 1]
+    pop = lo + rng.rand(n_pop, d) * (hi - lo)
+    costs = np.array([obj(x) for x in pop])
+    for _ in range(n_iter):
+        for i in range(n_pop):
+            idx = rng.choice(n_pop, 3, replace=False)
+            mutant = np.clip(pop[idx[0]] + f_w * (pop[idx[1]] - pop[idx[2]]), lo, hi)
+            cross = rng.rand(d) < cr
+            cross[rng.randint(d)] = True
+            trial = np.where(cross, mutant, pop[i])
+            c = obj(trial)
+            if c <= costs[i]:
+                pop[i] = trial
+                costs[i] = c
+    best = int(np.argmin(costs))
+    return pop[best], costs[best]
+
+
+def fit_vg_model(
+    lags: np.ndarray,
+    gammas: np.ndarray,
+    n_pairs: np.ndarray | None = None,
+    mixes=MODEL_MIXES,
+    wt_by: str = "pairs_over_gamma_sq",
+    seed: int = 1,
+) -> tuple[str, float]:
+    """Fit candidate model mixes to an empirical variogram, pick by AIC
+    (reference K6: DE over permutations, weighted SSE, AIC = n*ln(obj)+2k,
+    variograms/vgs.py:661-848). Returns (vg_str, aic)."""
+    from spinterps_spark.functions.vg_models import vg_vals
+
+    lags = np.asarray(lags, dtype=np.float64)
+    gammas = np.asarray(gammas, dtype=np.float64)
+    ok = np.isfinite(lags) & np.isfinite(gammas)
+    lags, gammas = lags[ok], gammas[ok]
+    if n_pairs is not None:
+        n_pairs = np.asarray(n_pairs, dtype=np.float64)[ok]
+    if len(lags) < 3:
+        return "nan", float("inf")
+
+    if wt_by == "pairs_over_gamma_sq" and n_pairs is not None:
+        wts = n_pairs / np.maximum(gammas, 1e-12) ** 2
+    elif wt_by == "inv_dist_sq":
+        wts = 1.0 / np.maximum(lags, 1e-12) ** 2
+    else:
+        wts = np.ones_like(lags)
+
+    var2 = 2.0 * max(float(np.var(gammas)), float(np.max(gammas)), 1e-6)
+    min_lag, max_lag = float(lags.min()), float(lags.max())
+
+    best_str, best_aic = "nan", float("inf")
+    for mix in mixes:
+        k = 2 * len(mix)
+
+        def obj(x, _mix=mix):
+            g = np.zeros_like(lags)
+            for m_i, name in enumerate(_mix):
+                sill, rng_p = x[2 * m_i], x[2 * m_i + 1]
+                g += vg_vals(f"{sill} {name}({rng_p})", lags)
+            return float(np.sum(wts * (gammas - g) ** 2))
+
+        bounds = []
+        for name in mix:
+            if name == "Nug":
+                bounds.append([1e-9, var2])
+                bounds.append([1e-5, 1.0])  # range unused for Nug
+            else:
+                bounds.append([1e-9, var2])
+                bounds.append([min_lag, max_lag * 2.0])
+        x, cost = _de_minimize(obj, np.array(bounds), seed=seed)
+        n = len(lags)
+        aic = n * np.log(max(cost, 1e-300)) + 2 * k
+        if aic < best_aic:
+            parts = " + ".join(
+                f"{x[2*i]:.6f} {name}({x[2*i+1]:.6f})" for i, name in enumerate(mix)
+            )
+            best_str, best_aic = parts, float(aic)
+    return best_str, best_aic
+
+
+FIT_SCHEMA = "cluster_id int, vg_str string, aic double, n_bins int"
+
+
+def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:
+    """One K6 fit per cluster via applyInPandas -> vg dim
+    (cluster_id, vg_str, aic, n_bins): the weight model reused across
+    buckets (reference O2 rewrite)."""
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin")
+        vg, aic = fit_vg_model(
+            pdf["lag"].to_numpy(),
+            pdf["gamma"].to_numpy(),
+            pdf["n_pairs"].to_numpy(),
+            seed=seed,
+        )
+        return pd.DataFrame(
+            {
+                "cluster_id": [int(pdf["cluster_id"].iloc[0])],
+                "vg_str": [vg],
+                "aic": [aic],
+                "n_bins": [len(pdf)],
+            }
+        )
+
+    return evg.groupBy("cluster_id").applyInPandas(fit_group, schema=FIT_SCHEMA)

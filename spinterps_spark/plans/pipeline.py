@@ -1,0 +1,116 @@
+"""End-to-end retention pipeline: the engine's flagship entry point.
+
+transcripts -> 1m/1h/1d rollups -> spine -> gap-fill -> Gorilla chunks,
+each tier pass checkpointed and resumable (plans/checkpoint.py).
+
+This is the Spark translation of SpInterpMain.interpolate()
+(SURVEY.md §3.1): the reference's `_interp_args` logical-plan list becomes
+the `tiers`/`fill_method` arguments; its memory-planned mp.Pool chunking
+becomes AQE + salted repartition + wave checkpoints; its lock-serialized
+netCDF writes become per-wave parquet (Iceberg in production) commits.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from spinterps_spark import TIERS
+from spinterps_spark.compress.gorilla import encode_tier_chunks
+from spinterps_spark.operators.gapfill import gapfill
+from spinterps_spark.operators.rollup import base_rollup, rollup_tier
+from spinterps_spark.operators.spine import with_spine
+from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
+
+
+def run_retention_pipeline(
+    spark,
+    transcripts: DataFrame,
+    out_dir: str,
+    tiers: tuple[str, ...] = TIERS,
+    fill_metric: str = "tok_len_mean",
+    fill_method: str = "IDW",
+    coords: DataFrame | None = None,
+    vg_dim: DataFrame | None = None,
+    n_salt: int = 16,
+    n_waves: int = 4,
+    run_id: str | None = None,
+    min_cnt: dict | None = None,
+    gorilla: bool = True,
+    fill_knobs: dict | None = None,
+) -> dict:
+    """Run (or resume) the full tier cascade. Returns a metrics dict.
+
+    Layout under out_dir:
+        rollup/tier=<t>/wave=<k>/*.parquet   rolled-up buckets
+        filled/tier=<t>/wave=<k>/*.parquet   gap-filled series
+        chunks/tier=<t>/wave=<k>/*.parquet   Gorilla chunk structs
+        ckpt/*.parquet                        lineage + metrics rows
+    """
+    run_id = run_id or new_run_id()
+    ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
+    min_cnt = min_cnt or {}
+    fill_knobs = fill_knobs or {}
+    t_start = time.time()
+    metrics = {"run_id": run_id, "tiers": {}}
+
+    n_turns = transcripts.count()
+    metrics["n_turns"] = n_turns
+
+    lower: DataFrame | None = None
+    for tier in tiers:
+        t0 = time.time()
+        if lower is None:
+            def make(sub, _tier=tier):
+                return base_rollup(sub, _tier, n_salt=n_salt,
+                                   min_cnt=min_cnt.get(_tier))
+            src = transcripts
+        else:
+            def make(sub, _tier=tier):
+                return rollup_tier(sub, _tier, min_cnt=min_cnt.get(_tier))
+            src = lower
+
+        rolled = run_waved_pass(
+            spark, src, make, os.path.join(out_dir, f"rollup/tier={tier}"),
+            ckpt, run_id, f"rollup:{tier}", n_waves=n_waves,
+        )
+
+        spined = with_spine(rolled, tier)
+        ser = spined.select(
+            "conv_id", "bucket_ts",
+            (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
+        )
+
+        def fill(sub, _tier=tier):
+            return gapfill(
+                sub, fill_metric, method=fill_method, tier=_tier,
+                coords=coords, vg_dim=vg_dim, **fill_knobs,
+            )
+
+        filled = run_waved_pass(
+            spark, ser, fill, os.path.join(out_dir, f"filled/tier={tier}"),
+            ckpt, run_id, f"filled:{tier}", n_waves=n_waves,
+        )
+
+        if gorilla:
+            def chunk(sub, _tier=tier):
+                return encode_tier_chunks(
+                    sub.where(F.col("value_filled").isNotNull()), _tier
+                )
+
+            run_waved_pass(
+                spark, filled, chunk, os.path.join(out_dir, f"chunks/tier={tier}"),
+                ckpt, run_id, f"chunks:{tier}", n_waves=n_waves,
+            )
+
+        metrics["tiers"][tier] = {
+            "buckets": rolled.count(),
+            "wall_sec": time.time() - t0,
+        }
+        lower = rolled
+
+    metrics["wall_sec"] = time.time() - t_start
+    metrics["points_per_sec"] = n_turns / metrics["wall_sec"]
+    return metrics

@@ -1,0 +1,754 @@
+"""Operator showcase queries + ANSI-SQL oracles (driver correctness gate).
+
+Each entry pairs a Spark implementation (exercising the engine's real
+operators from SURVEY.md §2) with an equivalent DuckDB SQL string over the
+same parquet inputs. Column names/aliases match exactly on both sides; all
+float aggregates are rounded identically on both sides (round 6) so the
+order-insensitive value-hash comparison is stable across engines.
+
+Transcript-engine queries read the deterministic fixture parquet
+(sources/fixtures.py) — the oracle reads the *same file* via read_parquet,
+so the comparison checks computation, not generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from spinterps_spark.operators import gapfill as G
+from spinterps_spark.operators import rollup as R
+from spinterps_spark.operators import spine as S
+from spinterps_spark.sources import fixtures
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_SW_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+
+def _utc(spark: SparkSession):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _t(spark, sf_dir):
+    return fixtures.load_transcripts(_utc(spark), sf_dir)
+
+
+def _oracle_sf() -> str:
+    # the driver's correctness gate runs at sf0.01; dev runs can point the
+    # oracle at another scale via this env var (both sides read the same file)
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _tp():
+    return fixtures.transcripts_path(_oracle_sf())
+
+
+def _cp():
+    return fixtures.coords_path(_oracle_sf())
+
+
+# --------------------------------------------------------------- rollups
+
+def q_rollup_1m(spark, sf_dir) -> DataFrame:
+    """A2 base tier: salted two-phase 1-minute rollup."""
+    return R.base_rollup(_t(spark, sf_dir), "1m", n_salt=16)
+
+
+SQL_ROLLUP_1M = f"""
+SELECT conv_id,
+       date_trunc('minute', ts) AS bucket_ts,
+       count(*) AS turn_cnt,
+       sum(len(string_split(text, ' '))) AS tok_len_sum,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS tool_call_cnt,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS role_user_cnt,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS role_assistant_cnt,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS role_tool_cnt,
+       count(*) >= 1 AS valid
+FROM read_parquet('{{tp}}')
+GROUP BY 1, 2
+"""
+
+_SQL_H1 = """
+WITH m1 AS (
+  SELECT conv_id, date_trunc('minute', ts) AS bucket_ts,
+         count(*) AS turn_cnt,
+         sum(len(string_split(text, ' '))) AS tok_len_sum,
+         sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS tool_call_cnt,
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS role_user_cnt,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS role_assistant_cnt,
+         sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS role_tool_cnt
+  FROM read_parquet('{tp}')
+  GROUP BY 1, 2
+),
+h1p AS (
+  SELECT conv_id, date_trunc('hour', bucket_ts) AS bucket_ts,
+         sum(turn_cnt) AS s1, sum(tok_len_sum) AS s2, sum(tool_call_cnt) AS s3,
+         sum(role_user_cnt) AS s4, sum(role_assistant_cnt) AS s5,
+         sum(role_tool_cnt) AS s6, count(*) AS n_lower
+  FROM m1 GROUP BY 1, 2
+)
+"""
+
+
+def q_rollup_1h_validity(spark, sf_dir) -> DataFrame:
+    """A2 cascade with min-count validity: 1m -> 1h, min_cnt=3
+    (invalid hour => NULL metrics, reference NaN-mask semantics)."""
+    m1 = R.base_rollup(_t(spark, sf_dir), "1m")
+    return R.rollup_tier(m1, "1h", min_cnt=3)
+
+
+SQL_ROLLUP_1H = (
+    _SQL_H1
+    + """
+SELECT conv_id, bucket_ts,
+       CASE WHEN n_lower >= 3 THEN s1 END AS turn_cnt,
+       CASE WHEN n_lower >= 3 THEN s2 END AS tok_len_sum,
+       CASE WHEN n_lower >= 3 THEN s3 END AS tool_call_cnt,
+       CASE WHEN n_lower >= 3 THEN s4 END AS role_user_cnt,
+       CASE WHEN n_lower >= 3 THEN s5 END AS role_assistant_cnt,
+       CASE WHEN n_lower >= 3 THEN s6 END AS role_tool_cnt,
+       n_lower >= 3 AS valid
+FROM h1p
+"""
+)
+
+
+def q_rollup_1d(spark, sf_dir) -> DataFrame:
+    """Full tier cascade 1m -> 1h(min 3) -> 1d(min 2)."""
+    m1 = R.base_rollup(_t(spark, sf_dir), "1m")
+    h1 = R.rollup_tier(m1, "1h", min_cnt=3)
+    return R.rollup_tier(h1, "1d", min_cnt=2)
+
+
+SQL_ROLLUP_1D = (
+    _SQL_H1
+    + """
+, h1 AS (
+  SELECT conv_id, bucket_ts, s1, s2, s3, s4, s5, s6
+  FROM h1p WHERE n_lower >= 3
+),
+d1p AS (
+  SELECT conv_id, date_trunc('day', bucket_ts) AS bucket_ts,
+         sum(s1) AS s1, sum(s2) AS s2, sum(s3) AS s3,
+         sum(s4) AS s4, sum(s5) AS s5, sum(s6) AS s6, count(*) AS n_lower
+  FROM h1 GROUP BY 1, 2
+)
+SELECT conv_id, bucket_ts,
+       CASE WHEN n_lower >= 2 THEN s1 END AS turn_cnt,
+       CASE WHEN n_lower >= 2 THEN s2 END AS tok_len_sum,
+       CASE WHEN n_lower >= 2 THEN s3 END AS tool_call_cnt,
+       CASE WHEN n_lower >= 2 THEN s4 END AS role_user_cnt,
+       CASE WHEN n_lower >= 2 THEN s5 END AS role_assistant_cnt,
+       CASE WHEN n_lower >= 2 THEN s6 END AS role_tool_cnt,
+       n_lower >= 2 AS valid
+FROM d1p
+"""
+)
+
+
+def q_role_mix_1h(spark, sf_dir) -> DataFrame:
+    """Derived ratio metrics from exact-compose sums (final-divide rule)."""
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    d = R.derived_metrics(h1)
+    return d.select(
+        "conv_id", "bucket_ts",
+        F.round("tok_len_mean", 6).alias("tok_len_mean"),
+        F.round("tool_call_rate", 6).alias("tool_call_rate"),
+        F.round("role_user_mix", 6).alias("role_user_mix"),
+        F.round("role_assistant_mix", 6).alias("role_assistant_mix"),
+        F.round("role_tool_mix", 6).alias("role_tool_mix"),
+    )
+
+
+SQL_ROLE_MIX_1H = (
+    _SQL_H1
+    + """
+SELECT conv_id, bucket_ts,
+       round(s2 / CAST(s1 AS DOUBLE), 6) AS tok_len_mean,
+       round(s3 / CAST(s1 AS DOUBLE), 6) AS tool_call_rate,
+       round(s4 / CAST(s1 AS DOUBLE), 6) AS role_user_mix,
+       round(s5 / CAST(s1 AS DOUBLE), 6) AS role_assistant_mix,
+       round(s6 / CAST(s1 AS DOUBLE), 6) AS role_tool_mix
+FROM h1p
+"""
+)
+
+
+def q_spine_gap_stats(spark, sf_dir) -> DataFrame:
+    """J2 spine join: per-conversation bucket/gap accounting at 1h."""
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    sp = S.with_spine(h1, "1h")
+    return sp.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("valid").cast("long")).alias("n_present"),
+        (F.count(F.lit(1)) - F.sum(F.col("valid").cast("long"))).alias("n_gaps"),
+    )
+
+
+SQL_SPINE_GAPS = (
+    _SQL_H1
+    + """
+SELECT conv_id,
+       (CAST(epoch(max(bucket_ts)) AS BIGINT) - CAST(epoch(min(bucket_ts)) AS BIGINT)) / 3600 + 1 AS n_buckets,
+       count(*) AS n_present,
+       (CAST(epoch(max(bucket_ts)) AS BIGINT) - CAST(epoch(min(bucket_ts)) AS BIGINT)) / 3600 + 1 - count(*) AS n_gaps
+FROM h1p GROUP BY conv_id
+"""
+)
+
+
+def q_fleet_stats_1h(spark, sf_dir) -> DataFrame:
+    """A1 per-bucket cross-conversation stats (min/mean/max/std/count).
+
+    mean/std are computed from exact decimal sums (order-independent), not
+    float avg/stddev, so the result is bit-identical across engines and
+    across shuffle orders — the Spark-native equivalent of the reference's
+    fixed reduction order (SURVEY.md §7.3 hard part 1).
+    """
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    v = F.col("tok_len_sum") / F.col("turn_cnt")
+    d = h1.select(
+        "bucket_ts",
+        v.alias("v"),
+        v.cast("decimal(38,12)").alias("vd"),
+        (v * v).cast("decimal(38,12)").alias("vd2"),
+    )
+    agg = d.groupBy("bucket_ts").agg(
+        F.count("v").alias("n_convs"),
+        F.round(F.min("v"), 6).alias("v_min"),
+        F.round(F.max("v"), 6).alias("v_max"),
+        F.sum("vd").cast("double").alias("_sv"),
+        F.sum("vd2").cast("double").alias("_sv2"),
+    )
+    mean = F.col("_sv") / F.col("n_convs")
+    var = F.greatest(F.col("_sv2") / F.col("n_convs") - mean * mean, F.lit(0.0))
+    return agg.select(
+        "bucket_ts", "n_convs", "v_min", "v_max",
+        F.round(mean, 6).alias("v_mean"),
+        F.round(F.sqrt(var), 6).alias("v_std"),
+    )
+
+
+SQL_FLEET_STATS = (
+    _SQL_H1
+    + """
+, v AS (
+  SELECT bucket_ts, s2 / CAST(s1 AS DOUBLE) AS v FROM h1p
+),
+agg AS (
+  SELECT bucket_ts, count(*) AS n_convs,
+         round(min(v), 6) AS v_min, round(max(v), 6) AS v_max,
+         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sv2
+  FROM v GROUP BY bucket_ts
+)
+SELECT bucket_ts, n_convs, v_min, v_max,
+       round(sv / n_convs, 6) AS v_mean,
+       round(sqrt(greatest(sv2 / n_convs - (sv / n_convs) * (sv / n_convs), 0.0)), 6) AS v_std
+FROM agg
+"""
+)
+
+
+IDW_H = 24 * 3600  # gap-fill horizon for the SQL-expressible IDW variant
+
+
+def q_idw_fill_all(spark, sf_dir) -> DataFrame:
+    """SQL-expressible IDW gap-fill: every gap bucket filled from ALL valid
+    buckets of the same conversation within +-24h, distances max-normalized
+    (reference 'all'-neighbor mode, interp/grps.py:141-145 + IDW kernel).
+    The k-nearest variant (UDF) is oracle-checked in pytest instead."""
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    sp = S.with_spine(h1, "1h")
+    val = (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v")
+    gaps = sp.where(~F.col("valid")).select(
+        "conv_id", F.unix_timestamp("bucket_ts").alias("gt"), "bucket_ts"
+    )
+    refs = sp.where(F.col("valid")).select(
+        "conv_id", F.unix_timestamp("bucket_ts").alias("rt"), val
+    )
+    j = gaps.join(refs, "conv_id").where(F.abs(F.col("gt") - F.col("rt")) <= IDW_H)
+    j = j.withColumn("d", F.abs(F.col("gt") - F.col("rt")).cast("double"))
+    wspec = W.partitionBy("conv_id", "gt")
+    j = j.withColumn("dn", F.col("d") / F.max("d").over(wspec))
+    j = j.withColumn("w", F.lit(1.0) / F.pow("dn", F.lit(5.0)))
+    # decimal-sum accumulation: order-independent, engine-agnostic exactness
+    out = j.groupBy("conv_id", "bucket_ts").agg(
+        F.round(
+            F.sum((F.col("w") * F.col("v")).cast("decimal(38,12)")).cast("double")
+            / F.sum(F.col("w").cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("v_filled"),
+        F.count(F.lit(1)).alias("n_refs"),
+    )
+    return out
+
+
+SQL_IDW_FILL = (
+    _SQL_H1
+    + f"""
+, h1 AS (SELECT conv_id, bucket_ts, s2 / CAST(s1 AS DOUBLE) AS v FROM h1p),
+spine AS (
+  SELECT conv_id,
+         unnest(generate_series(min(bucket_ts), max(bucket_ts), INTERVAL 1 HOUR)) AS bucket_ts
+  FROM h1 GROUP BY conv_id
+),
+gaps AS (
+  SELECT s.conv_id, s.bucket_ts, CAST(epoch(s.bucket_ts) AS BIGINT) AS gt
+  FROM spine s LEFT JOIN h1 USING (conv_id, bucket_ts)
+  WHERE h1.v IS NULL
+),
+pairs AS (
+  SELECT g.conv_id, g.bucket_ts, g.gt, r.v,
+         CAST(abs(g.gt - CAST(epoch(r.bucket_ts) AS BIGINT)) AS DOUBLE) AS d
+  FROM gaps g JOIN h1 r USING (conv_id)
+  WHERE abs(g.gt - CAST(epoch(r.bucket_ts) AS BIGINT)) <= {IDW_H}
+),
+normed AS (
+  SELECT conv_id, bucket_ts, gt, v,
+         d / max(d) OVER (PARTITION BY conv_id, gt) AS dn
+  FROM pairs
+)
+SELECT conv_id, bucket_ts,
+       round(
+         CAST(sum(CAST((1.0 / pow(dn, 5.0)) * v AS DECIMAL(38,12))) AS DOUBLE) /
+         CAST(sum(CAST(1.0 / pow(dn, 5.0) AS DECIMAL(38,12))) AS DOUBLE), 6) AS v_filled,
+       count(*) AS n_refs
+FROM normed GROUP BY conv_id, bucket_ts
+"""
+)
+
+
+def q_pair_variogram_types(spark, sf_dir) -> DataFrame:
+    """A9 pairwise-series variogram stat in pure SQL aggregates:
+    var(a)+var(b)-2*covar_pop(a,b) over common buckets (Sampson-Guttorp,
+    vgclus/evg_clus.py:111-157) — on the events table's hourly type series."""
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    # hourly mean via exact decimal sum so the series is bit-identical in
+    # both engines (event values have 2 decimals -> decimal sum is exact)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    j = a.join(b, "bucket_ts").where(F.col("a.event_type") < F.col("b.event_type"))
+    agg = j.groupBy(
+        F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.col("a.v").cast("decimal(38,12)")).cast("double").alias("_sa"),
+        F.sum(F.col("b.v").cast("decimal(38,12)")).cast("double").alias("_sb"),
+        F.sum((F.col("a.v") * F.col("a.v")).cast("decimal(38,12)")).cast("double").alias("_sa2"),
+        F.sum((F.col("b.v") * F.col("b.v")).cast("decimal(38,12)")).cast("double").alias("_sb2"),
+        F.sum((F.col("a.v") * F.col("b.v")).cast("decimal(38,12)")).cast("double").alias("_sab"),
+    )
+    n = F.col("n_common")
+    var_a = F.col("_sa2") / n - (F.col("_sa") / n) * (F.col("_sa") / n)
+    var_b = F.col("_sb2") / n - (F.col("_sb") / n) * (F.col("_sb") / n)
+    cov = F.col("_sab") / n - (F.col("_sa") / n) * (F.col("_sb") / n)
+    return agg.select(
+        "type_a", "type_b", "n_common",
+        F.round(var_a + var_b - 2 * cov, 4).alias("gamma_sg"),
+    )
+
+
+SQL_PAIR_VARIOGRAM = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_common,
+         CAST(sum(CAST(a.v AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(b.v AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(a.v * a.v AS DECIMAL(38,12))) AS DOUBLE) AS sa2,
+         CAST(sum(CAST(b.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sb2,
+         CAST(sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sab
+  FROM hourly a JOIN hourly b USING (bucket_ts)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_common,
+       round((sa2 / n_common - (sa / n_common) * (sa / n_common))
+           + (sb2 / n_common - (sb / n_common) * (sb / n_common))
+           - 2 * (sab / n_common - (sa / n_common) * (sb / n_common)), 4) AS gamma_sg
+FROM agg
+"""
+
+EVG_LAG = 200.0
+
+
+def q_evg_binned(spark, sf_dir) -> DataFrame:
+    """A5 constant-width-bin empirical variogram input: all same-cluster
+    coordinate pairs i<j, binned by floor(dist/lag) (J9 pair join)."""
+    c = fixtures.load_coords(_utc(spark), sf_dir)
+    a, b = c.alias("a"), c.alias("b")
+    j = a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id")).where(
+        F.col("a.conv_id") < F.col("b.conv_id")
+    )
+    d = F.sqrt(
+        (F.col("a.x") - F.col("b.x")) ** 2 + (F.col("a.y") - F.col("b.y")) ** 2
+    )
+    j = j.select(F.col("a.cluster_id").alias("cluster_id"), d.alias("d"))
+    return j.groupBy(
+        "cluster_id", F.floor(F.col("d") / EVG_LAG).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_dist"),
+    )
+
+
+SQL_EVG_BINNED = f"""
+WITH c AS (SELECT * FROM read_parquet('{{cp}}')),
+pairs AS (
+  SELECT a.cluster_id,
+         sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)) AS d
+  FROM c a JOIN c b ON a.cluster_id = b.cluster_id AND a.conv_id < b.conv_id
+)
+SELECT cluster_id, CAST(floor(d / {EVG_LAG}) AS BIGINT) AS bin,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def q_monotonic_envelope(spark, sf_dir) -> DataFrame:
+    """A11/W1 positive-definite envelope: running max over distance-ordered
+    binned evg (vgclus/evg_clus.py:192-212)."""
+    binned = q_evg_binned(spark, sf_dir)
+    w = W.partitionBy("cluster_id").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return binned.select(
+        "cluster_id", "bin", "mean_dist",
+        F.max("mean_dist").over(w).alias("env"),
+    )
+
+
+SQL_MONOTONIC_ENV = f"""
+WITH c AS (SELECT * FROM read_parquet('{{cp}}')),
+pairs AS (
+  SELECT a.cluster_id,
+         sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)) AS d
+  FROM c a JOIN c b ON a.cluster_id = b.cluster_id AND a.conv_id < b.conv_id
+),
+binned AS (
+  SELECT cluster_id, CAST(floor(d / {EVG_LAG}) AS BIGINT) AS bin,
+         round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist
+  FROM pairs GROUP BY 1, 2
+)
+SELECT cluster_id, bin, mean_dist,
+       max(mean_dist) OVER (
+         PARTITION BY cluster_id ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS env
+FROM binned
+"""
+
+
+def q_topk_neighbors(spark, sf_dir) -> DataFrame:
+    """T1/W5 k-nearest-neighbor selection: 5 nearest same-cluster
+    conversations per conversation (clusters 0-1), rank-deterministic."""
+    c = fixtures.load_coords(_utc(spark), sf_dir).where(F.col("cluster_id") <= 1)
+    a, b = c.alias("a"), c.alias("b")
+    j = a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id")).where(
+        F.col("a.conv_id") != F.col("b.conv_id")
+    )
+    d = F.round(
+        F.sqrt((F.col("a.x") - F.col("b.x")) ** 2 + (F.col("a.y") - F.col("b.y")) ** 2),
+        4,
+    )
+    j = j.select(
+        F.col("a.conv_id").alias("conv_id"),
+        F.col("b.conv_id").alias("neighbor_id"),
+        d.alias("dist"),
+    )
+    w = W.partitionBy("conv_id").orderBy("dist", "neighbor_id")
+    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+SQL_TOPK_NEIGHBORS = """
+WITH c AS (SELECT * FROM read_parquet('{cp}') WHERE cluster_id <= 1),
+pairs AS (
+  SELECT a.conv_id, b.conv_id AS neighbor_id,
+         round(sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)), 4) AS dist
+  FROM c a JOIN c b ON a.cluster_id = b.cluster_id AND a.conv_id <> b.conv_id
+)
+SELECT conv_id, neighbor_id, dist,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY dist, neighbor_id) AS INT) AS rn
+FROM pairs
+QUALIFY rn <= 5
+"""
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup: md5(text) groups, keeper = min(doc_id)."""
+    d = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    """Text analysis: token count, stopword ratio, quality score,
+    rule-based language flag, md5 fingerprint of the first 8 tokens."""
+    d = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    swr = F.round(sw / n_tok.cast("double"), 6)
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_real"),
+        sw.cast("long").alias("stopword_cnt"),
+        swr.alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (1 - sw / n_tok.cast("double")),
+            6,
+        ).alias("quality_score"),
+        F.when(sw / n_tok.cast("double") >= 0.05, "en").otherwise("unk").alias("lang_pred"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_real,
+       len(list_filter(toks, x -> x IN {_SW_SQL})) AS stopword_cnt,
+       round(len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+       round(least(1.0, len(toks) / 100.0) *
+             (1 - len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE)), 6) AS quality_score,
+       CASE WHEN len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred,
+       md5(array_to_string(toks[1:8], ' ')) AS fingerprint
+FROM t
+"""
+
+N_BANDS = 4
+
+
+def q_minhash_bands(spark, sf_dir) -> DataFrame:
+    """MinHash-LSH signatures: 3-token shingles, 4 bands, band minhash =
+    lexicographic min of md5(band:shingle) — engine-agnostic string hashing
+    so Spark and the SQL oracle agree bit-for-bit."""
+    d = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    d = d.where(F.size(toks) >= 3).select("doc_id", F.explode(shingles).alias("shingle"))
+    d = d.crossJoin(
+        _utc(spark).range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    )
+    return d.groupBy("doc_id", "band").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("minhash")
+    )
+
+
+SQL_MINHASH_BANDS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+s AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM t
+),
+b AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+SELECT doc_id, CAST(band AS INT) AS band,
+       min(md5(band || ':' || shingle)) AS minhash
+FROM s CROSS JOIN b
+GROUP BY 1, 2
+"""
+
+
+def q_lsh_candidates(spark, sf_dir) -> DataFrame:
+    """LSH near-dup candidates: doc pairs agreeing on >= 2 band minhashes
+    (bounded output: aggregated per doc)."""
+    sig = q_minhash_bands(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b, ["band", "minhash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .where(F.col("n_bands") >= 2)
+    )
+    return pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_candidates"), F.min("doc_b").alias("first_match")
+    )
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+s AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM t
+),
+b AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band),
+sig AS (
+  SELECT doc_id, band, min(md5(band || ':' || shingle)) AS minhash
+  FROM s CROSS JOIN b GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM sig a JOIN sig b USING (band, minhash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT doc_a, count(*) AS n_candidates, min(doc_b) AS first_match
+FROM pairs GROUP BY doc_a
+"""
+
+
+def q_cosine_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-3 ANN baseline over the embeddings table
+    (queries: vec_id < 5), JVM-side dot product via aggregate/zip_with."""
+    e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    j = q.crossJoin(e).where(F.col("vec_id") != F.col("q_id"))
+    j = j.select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(dot / (norm(F.col("q_emb")) * norm(F.col("emb"))), 4).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+sims AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(
+           list_sum([q.q_emb[i] * e.emb[i] for i in generate_series(1, len(e.emb))]) /
+           (sqrt(list_sum([x * x for x in q.q_emb])) *
+            sqrt(list_sum([x * x for x in e.emb]))), 4) AS sim
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, n_id, sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rn
+FROM sims
+QUALIFY rn <= 3
+"""
+
+
+# -------------------------------------------------- rows-only (non-SQL ops)
+
+def q_gapfill_idw_knn(spark, sf_dir) -> DataFrame:
+    """k-nearest IDW gap-fill (pandas-UDF path; pytest-oracled) — the
+    driver records a rows-only check here since pinv/k-NN ladders are not
+    SQL-expressible."""
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    sp = S.with_spine(h1, "1h").selectExpr(
+        "conv_id", "bucket_ts", "tok_len_sum / turn_cnt AS v"
+    )
+    out = G.gapfill(sp, "v", method="IDW", tier="1h")
+    return out.groupBy("fill_method").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value_filled"), 2).alias("avg_value"),
+    )
+
+
+def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
+    """Gorilla encode->decode roundtrip audit: per-tier chunk/point counts
+    and exactness (mismatch must be 0)."""
+    from spinterps_spark.compress.gorilla import decode_tier_chunks, encode_tier_chunks
+
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    ser = h1.select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("value_filled"),
+    )
+    chunks = encode_tier_chunks(ser, "1h")
+    back = decode_tier_chunks(chunks).withColumnRenamed("value", "v_dec")
+    cmp = ser.join(back, ["conv_id", "bucket_ts"], "full")
+    return cmp.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            (
+                F.col("value_filled").isNull()
+                | F.col("v_dec").isNull()
+                | (F.col("value_filled") != F.col("v_dec"))
+            ).cast("long")
+        ).alias("n_mismatch"),
+    )
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES = {
+    "rollup_1m": (q_rollup_1m, lambda: SQL_ROLLUP_1M.format(tp=_tp())),
+    "rollup_1h_validity": (q_rollup_1h_validity, lambda: SQL_ROLLUP_1H.format(tp=_tp())),
+    "rollup_1d": (q_rollup_1d, lambda: SQL_ROLLUP_1D.format(tp=_tp())),
+    "role_mix_1h": (q_role_mix_1h, lambda: SQL_ROLE_MIX_1H.format(tp=_tp())),
+    "spine_gap_stats": (q_spine_gap_stats, lambda: SQL_SPINE_GAPS.format(tp=_tp())),
+    "fleet_stats_1h": (q_fleet_stats_1h, lambda: SQL_FLEET_STATS.format(tp=_tp())),
+    "idw_fill_all": (q_idw_fill_all, lambda: SQL_IDW_FILL.format(tp=_tp())),
+    "pair_variogram_types": (q_pair_variogram_types, lambda: SQL_PAIR_VARIOGRAM),
+    "evg_binned": (q_evg_binned, lambda: SQL_EVG_BINNED.format(cp=_cp())),
+    "monotonic_envelope": (q_monotonic_envelope, lambda: SQL_MONOTONIC_ENV.format(cp=_cp())),
+    "topk_neighbors": (q_topk_neighbors, lambda: SQL_TOPK_NEIGHBORS.format(cp=_cp())),
+    "dedup_exact": (q_dedup_exact, lambda: SQL_DEDUP_EXACT),
+    "text_quality": (q_text_quality, lambda: SQL_TEXT_QUALITY),
+    "minhash_bands": (q_minhash_bands, lambda: SQL_MINHASH_BANDS),
+    "lsh_candidates": (q_lsh_candidates, lambda: SQL_LSH_CANDIDATES),
+    "cosine_topk": (q_cosine_topk, lambda: SQL_COSINE_TOPK),
+    # rows-only (no SQL oracle possible: pandas-UDF ladders / binary codecs)
+    "gapfill_idw_knn": (q_gapfill_idw_knn, None),
+    "gorilla_roundtrip": (q_gorilla_roundtrip, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql() for name, (_, sql) in QUERIES.items() if sql is not None}

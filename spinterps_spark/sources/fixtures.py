@@ -1,0 +1,75 @@
+"""Deterministic transcript/coords fixture parquet for correctness gates.
+
+The driver's DuckDB oracle can only see parquet files, so transcript-engine
+queries materialize their synthetic input once per scale under
+/root/repo/.fixtures/ (idempotent, seed-pure — see datagen.py). Both the
+Spark query and the DuckDB oracle SQL read the *same file*, so parity checks
+compare computation, not generation.
+
+Written with pyarrow directly (single deterministic file, no Spark needed),
+timestamps as TIMESTAMP_MICROS so Spark and DuckDB agree on values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from spinterps_spark import datagen
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".fixtures")
+
+# aligned with TESTDATA.md lineitem scale per sf directory
+N_TURNS_BY_SF = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+SEED = 42
+
+
+def _sf_name(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base in N_TURNS_BY_SF else "sf0.01"
+
+
+def transcripts_path(sf_dir: str) -> str:
+    name = _sf_name(sf_dir)
+    path = os.path.join(FIXTURE_DIR, f"transcripts_{name}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        pdf = datagen.transcripts_pandas(seed=SEED, n_turns_target=N_TURNS_BY_SF[name])
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        table = table.set_column(
+            table.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            table.column("turn_idx").cast(pa.int32()),
+        )
+        table = table.set_column(
+            table.schema.get_field_index("ts"),
+            "ts",
+            table.column("ts").cast(pa.timestamp("us")),
+        )
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def coords_path(sf_dir: str) -> str:
+    name = _sf_name(sf_dir)
+    path = os.path.join(FIXTURE_DIR, f"conv_coords_{name}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        n_convs = len(datagen.plan_sizes(SEED, N_TURNS_BY_SF[name]))
+        pdf = datagen.conv_coords_pandas(SEED, n_convs)
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def load_transcripts(spark, sf_dir: str):
+    return spark.read.parquet(transcripts_path(sf_dir))
+
+
+def load_coords(spark, sf_dir: str):
+    return spark.read.parquet(coords_path(sf_dir))

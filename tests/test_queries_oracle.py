@@ -1,0 +1,94 @@
+"""Driver-style correctness gate replica: run every queries() entry on Spark
+and its oracle_sql() on DuckDB over the same parquet, compare row count,
+column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from spinterps_spark import queries as Q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            dt = pdf[c]
+            if getattr(dt.dtype, "tz", None) is not None:
+                dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = dt.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")  # int width agnostic
+        elif pd.api.types.is_bool_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("boolean")
+    return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
+
+
+def assert_frames_match(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
+    g, w = canon(got), canon(want)
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        if gv.dtype == "float64":
+            both_nan = gv.isna() & wv.isna()
+            close = np.isclose(
+                gv.fillna(0).to_numpy(), wv.fillna(0).to_numpy(),
+                rtol=0, atol=0, equal_nan=True,
+            )
+            ok = both_nan | (close & ~(gv.isna() ^ wv.isna()))
+            assert ok.all(), (
+                f"{name}.{c}: {int((~ok).sum())} mismatches, e.g.\n"
+                f"{pd.concat([g[~ok].head(3), w[~ok].head(3)])}"
+            )
+        else:
+            eq = (gv == wv) | (gv.isna() & wv.isna())
+            assert eq.all(), (
+                f"{name}.{c}: {int((~eq).sum())} mismatches, e.g.\n"
+                f"got:\n{g[~eq].head(3)}\nwant:\n{w[~eq].head(3)}"
+            )
+
+
+ORACLED = sorted(Q.oracle_sql().keys())
+ROWS_ONLY = sorted(set(Q.queries()) - set(ORACLED))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_duckdb(spark, duck, name):
+    got = Q.queries()[name](spark, SF_DIR).toPandas()
+    want = duck.execute(Q.oracle_sql()[name]).df()
+    assert_frames_match(got, want, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = Q.queries()[name](spark, SF_DIR)
+    pdf = df.toPandas()
+    assert len(pdf) >= 0 and len(pdf.columns) > 0
+    if name == "gorilla_roundtrip":
+        assert pdf["n_mismatch"].iloc[0] == 0

@@ -1,0 +1,117 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spinterps_spark import datagen
+from spinterps_spark.functions.vg_models import vg_vals
+from spinterps_spark.operators import rollup as R
+from spinterps_spark.operators import variogram as V
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    t = datagen.transcripts_spark(spark, seed=42, n_turns_target=3000)
+    h1 = R.rollup_tier(R.base_rollup(t, "1m"), "1h", min_cnt=1)
+    return h1.selectExpr("conv_id", "bucket_ts", "tok_len_sum/turn_cnt AS v")
+
+
+@pytest.fixture(scope="module")
+def coords(spark, series):
+    n = series.select("conv_id").distinct().count()
+    # conv labels are dense c%08d starting at 0
+    return datagen.conv_coords_spark(spark, 42, n)
+
+
+def test_empirical_variogram_matches_pandas(spark, series, coords):
+    got = V.empirical_variogram(
+        series, coords, "v", max_lag=24 * 3600, estimator="mean"
+    ).toPandas().sort_values(["cluster_id", "bin"]).reset_index(drop=True)
+
+    pdf = series.toPandas()
+    cl = coords.toPandas().set_index("conv_id")["cluster_id"]
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("bucket_ts")
+        t = g["bucket_ts"].astype("int64").to_numpy() // 10**9
+        z = g["v"].to_numpy(float)
+        m = ~np.isnan(z)
+        t, z = t[m], z[m]
+        for i in range(len(t)):
+            for j in range(i + 1, len(t)):
+                h = t[j] - t[i]
+                if 0 < h <= 24 * 3600:
+                    rows.append((cl[conv], h, 0.5 * (z[i] - z[j]) ** 2))
+    w = pd.DataFrame(rows, columns=["cluster_id", "h", "sq"])
+    w["bin"] = (w["h"] // 3600).astype("int64")
+    want = (
+        w.groupby(["cluster_id", "bin"])
+        .agg(n_pairs=("sq", "size"), lag=("h", "mean"), gamma=("sq", "mean"))
+        .reset_index()
+        .sort_values(["cluster_id", "bin"])
+        .reset_index(drop=True)
+    )
+    assert (got["n_pairs"].to_numpy() == want["n_pairs"].to_numpy()).all()
+    assert np.allclose(got["gamma"], want["gamma"], rtol=1e-9)
+    assert np.allclose(got["lag"], want["lag"], rtol=1e-12)
+
+
+def test_classic_estimator_is_median(spark, series, coords):
+    classic = V.empirical_variogram(series, coords, "v", estimator="classic")
+    assert "gamma" in classic.columns
+    pdf = classic.toPandas()
+    assert len(pdf) > 0 and (pdf["gamma"] >= 0).all()
+
+
+def test_smooth_monotone_normalize(spark, series, coords):
+    evg = V.empirical_variogram(series, coords, "v", estimator="mean")
+    out = V.normalize(V.smooth_and_monotone(evg)).toPandas()
+    for _, g in out.sort_values("bin").groupby("cluster_id"):
+        pd_vals = g["gamma_pd"].to_numpy()
+        assert (np.diff(pd_vals) >= -1e-12).all(), "envelope not monotone"
+    assert np.allclose(out["gamma_n"] * out["norm_val"], out["gamma_pd"])
+
+
+def test_fit_recovers_known_model():
+    # synthetic evg sampled from a known spherical model: fit must recover
+    # it closely (weighted SSE + AIC selection)
+    lags = np.linspace(600, 72 * 3600, 60)
+    true = "4.0 Sph(86400.0)"
+    gammas = vg_vals(true, lags)
+    vg_str, aic = V.fit_vg_model(lags, gammas, np.full(60, 100.0), seed=3)
+    fitted = vg_vals(vg_str, lags)
+    rel = np.abs(fitted - gammas) / (np.abs(gammas) + 1e-9)
+    assert np.median(rel) < 0.05, (vg_str, np.median(rel))
+
+
+def test_fit_deterministic():
+    lags = np.linspace(600, 48 * 3600, 40)
+    gammas = vg_vals("2.0 Exp(7200.0)", lags) + 0.01 * np.sin(lags / 5000)
+    a = V.fit_vg_model(lags, gammas, seed=7)
+    b = V.fit_vg_model(lags, gammas, seed=7)
+    assert a == b
+
+
+def test_cluster_fit_end_to_end(spark, series, coords):
+    evg = V.empirical_variogram(series, coords, "v", estimator="mean")
+    dim = V.fit_cluster_variograms(evg).toPandas()
+    assert dim["cluster_id"].nunique() == len(dim)
+    assert (dim["vg_str"] != "nan").all()
+    # fitted dim usable by OK gapfill
+    from spinterps_spark.operators import gapfill as G
+    from spinterps_spark.operators import spine as S
+
+    sp = S.with_spine(
+        series.withColumnRenamed("v", "tok_len_sum")
+        .withColumn("turn_cnt", F.lit(1))
+        .withColumn("tool_call_cnt", F.lit(0))
+        .withColumn("role_user_cnt", F.lit(0))
+        .withColumn("role_assistant_cnt", F.lit(0))
+        .withColumn("role_tool_cnt", F.lit(0))
+        .withColumn("valid", F.col("tok_len_sum").isNotNull()),
+        "1h",
+    ).selectExpr("conv_id", "bucket_ts", "tok_len_sum AS v")
+    vg_dim = spark.createDataFrame(dim[["cluster_id", "vg_str"]])
+    filled = G.gapfill(sp, "v", method="OK", tier="1h", coords=coords, vg_dim=vg_dim)
+    fp = filled.toPandas()
+    assert (fp["fill_method"] == "ok").sum() > 0

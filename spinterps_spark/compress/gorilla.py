@@ -96,7 +96,10 @@ _DOD_PLAN = ((-63, 64, 0b10, 2, 7), (-255, 256, 0b110, 3, 9), (-2047, 2048, 0b11
 
 def encode_ts(ts: np.ndarray) -> bytes:
     """ts: int64 seconds, ascending. Stream excludes ts[0] (stored raw in the
-    struct); includes the first delta as a raw 64-bit field."""
+    struct); includes the first delta as a raw 64-bit field.
+
+    Classification of delta-of-deltas is vectorized (np.select); the loop
+    only emits precomputed (prefix, payload) pairs."""
     ts = np.asarray(ts, dtype=np.int64)
     w = BitWriter()
     if len(ts) < 2:
@@ -104,19 +107,35 @@ def encode_ts(ts: np.ndarray) -> bytes:
     deltas = np.diff(ts)
     w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
     dods = np.diff(deltas)
-    for d in dods:
-        d = int(d)
-        if d == 0:
-            w.write(0, 1)
-            continue
-        for lo, hi, prefix, pbits, vbits in _DOD_PLAN:
-            if lo <= d <= hi:
-                w.write(prefix, pbits)
-                w.write(_twos(d, vbits), vbits)
-                break
+    if len(dods) == 0:
+        return w.bytes()
+    klass = np.select(
+        [
+            dods == 0,
+            (dods >= -63) & (dods <= 64),
+            (dods >= -255) & (dods <= 256),
+            (dods >= -2047) & (dods <= 2048),
+        ],
+        [0, 1, 2, 3],
+        default=4,
+    )
+    dod_list = dods.tolist()
+    write = w.write
+    for d, kl in zip(dod_list, klass.tolist()):
+        if kl == 0:
+            write(0, 1)
+        elif kl == 1:
+            write(0b10, 2)
+            write(d & 0x7F, 7)
+        elif kl == 2:
+            write(0b110, 3)
+            write(d & 0x1FF, 9)
+        elif kl == 3:
+            write(0b1110, 4)
+            write(d & 0xFFF, 12)
         else:
-            w.write(0b1111, 4)
-            w.write(_twos(d, 64), 64)
+            write(0b1111, 4)
+            write(d & ((1 << 64) - 1), 64)
     return w.bytes()
 
 
@@ -155,31 +174,45 @@ def _trailing_zeros64(x: int) -> int:
 
 
 def encode_vals(vals: np.ndarray) -> bytes:
-    """vals: float64. Stream excludes vals[0] (stored raw in the struct)."""
+    """vals: float64. Stream excludes vals[0] (stored raw in the struct).
+
+    XOR chain + leading/trailing-zero counts are vectorized with numpy
+    (unpackbits over the big-endian byte view); the loop only applies the
+    window-control state machine and emits bits."""
     bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
     w = BitWriter()
-    prev = int(bits[0])
-    prev_lead, prev_len = 65, 0  # invalid window -> first xor always re-windows
-    for cur in bits[1:]:
-        cur = int(cur)
-        x = cur ^ prev
-        prev = cur
+    if len(bits) < 2:
+        return w.bytes()
+    xors = bits[:-1] ^ bits[1:]
+    bitmat = np.unpackbits(
+        xors.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+    )
+    nz = xors != 0
+    # bitmat column 0 is bit 63 (big-endian): leading zeros = first set
+    # column; trailing zeros = first set column of the reversed matrix.
+    lead_arr = np.where(nz, bitmat.argmax(axis=1), 64)
+    trail_arr = np.where(nz, bitmat[:, ::-1].argmax(axis=1), 64)
+    lead_arr = np.minimum(lead_arr, 63)
+
+    x_list = xors.tolist()
+    lead_list = lead_arr.tolist()
+    trail_list = trail_arr.tolist()
+    prev_lead, prev_len = 65, 0  # invalid window -> first xor re-windows
+    write = w.write
+    for x, lead, trail in zip(x_list, lead_list, trail_list):
         if x == 0:
-            w.write(0, 1)
+            write(0, 1)
             continue
-        w.write(1, 1)
-        lead = min(_leading_zeros64(x), 63)
-        trail = _trailing_zeros64(x)
+        write(1, 1)
         length = 64 - lead - trail
         if prev_lead <= lead and (64 - prev_lead - prev_len) <= trail:
-            # fits the previous window
-            w.write(0, 1)
-            w.write(x >> (64 - prev_lead - prev_len), prev_len)
+            write(0, 1)
+            write(x >> (64 - prev_lead - prev_len), prev_len)
         else:
-            w.write(1, 1)
-            w.write(lead, 6)
-            w.write(length - 1, 6)
-            w.write(x >> trail, length)
+            write(1, 1)
+            write(lead, 6)
+            write(length - 1, 6)
+            write(x >> trail, length)
             prev_lead, prev_len = lead, length
     return w.bytes()
 
@@ -235,38 +268,52 @@ CHUNK_SCHEMA = (
 
 def encode_tier_chunks(filled: DataFrame_or_any, tier: str, value_col: str = "value_filled",
                        chunk_size: int = DEFAULT_CHUNK):
-    """(conv_id, bucket_ts, value) -> Gorilla chunk structs, one group per
-    conversation, chunks of `chunk_size` points in bucket_ts order."""
+    """(conv_id, bucket_ts, value) -> Gorilla chunk structs.
+
+    Chunk key = (conv_id, floor(epoch / (chunk_size * tier_seconds))):
+    time-aligned fixed windows, so chunk membership is a pure function of
+    the row (deterministic across runs, resumable, and bounded at
+    chunk_size points for a dense filled series — no conversation-sized
+    group ever materializes). Executed via the stitched mapInPandas path
+    (operators/grouped.py): one Python call per Arrow batch.
+    """
+    from pyspark.sql import functions as F
+
+    from spinterps_spark import TIER_SECONDS
+    from spinterps_spark.operators.grouped import apply_grouped_batches, group_bounds
+
+    span = chunk_size * TIER_SECONDS[tier]
+    df = filled.select(
+        "conv_id",
+        F.unix_timestamp("bucket_ts").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        (F.unix_timestamp("bucket_ts") / span).cast("long").alias("_ck"),
+    )
 
     def to_chunks(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_ts", kind="mergesort")
-        t = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
-        v = pdf[value_col].to_numpy(np.float64)
-        conv = pdf["conv_id"].iloc[0]
-        rows = []
-        for s in range(0, len(t), chunk_size):
-            c = encode_chunk(t[s : s + chunk_size], v[s : s + chunk_size])
-            rows.append(
-                (
-                    conv,
-                    tier,
-                    pd.Timestamp(c["first_ts"], unit="s"),
-                    c["n"],
-                    c["first_ts"],
-                    c["first_val"],
-                    c["ts_d2d"],
-                    c["vals_xor"],
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id", "tier", "chunk_start_ts", "n",
-                "first_ts", "first_val", "ts_d2d", "vals_xor",
-            ],
-        )
+        starts = np.append(group_bounds(pdf, ["conv_id", "_ck"]), len(pdf))
+        t_all = pdf["_t"].to_numpy(np.int64)
+        v_all = pdf["_v"].to_numpy(np.float64)
+        conv_all = pdf["conv_id"].to_numpy()
+        cols = {k: [] for k in (
+            "conv_id", "n", "first_ts", "first_val", "ts_d2d", "vals_xor")}
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            c = encode_chunk(t_all[s:e], v_all[s:e])
+            cols["conv_id"].append(conv_all[s])
+            cols["n"].append(c["n"])
+            cols["first_ts"].append(c["first_ts"])
+            cols["first_val"].append(c["first_val"])
+            cols["ts_d2d"].append(c["ts_d2d"])
+            cols["vals_xor"].append(c["vals_xor"])
+        out = pd.DataFrame(cols)
+        out.insert(1, "tier", tier)
+        out.insert(2, "chunk_start_ts", pd.to_datetime(
+            np.asarray(cols["first_ts"], dtype="int64"), unit="s"))
+        return out[["conv_id", "tier", "chunk_start_ts", "n",
+                    "first_ts", "first_val", "ts_d2d", "vals_xor"]]
 
-    return filled.groupBy("conv_id").applyInPandas(to_chunks, schema=CHUNK_SCHEMA)
+    return apply_grouped_batches(df, ["conv_id", "_ck"], "_t", to_chunks, CHUNK_SCHEMA)
 
 
 def decode_tier_chunks(chunks):

@@ -100,83 +100,66 @@ def fill_series(
         raise ValueError("NaN VG!")
     nuggety = method == "OK" and check_full_nuggetness(vg_str, min_vg_val)
 
-    pinv_cache: dict[tuple, np.ndarray] = {}
+    n_ref = len(ref_idx)
+    n_gap = len(gap_idx)
+    t_gap = t[gap_idx]
+    k = min(n_neighbors, n_ref)
 
-    for j in gap_idx:
-        # k nearest valid buckets by temporal distance; stable sort so
-        # equidistant refs (symmetric around a gap on a regular bucket grid)
-        # tie-break by time order, deterministically — same rule as oracle.
-        d_all = np.abs(t_ref - t[j])
-        nb = np.argsort(d_all, kind="stable")[: min(n_neighbors, len(d_all))]
-        dists = d_all[nb]
-        zs = v_ref[nb]
-        k = len(nb)
+    # ---- vectorized k-nearest selection over the sorted ref timeline:
+    # the k nearest refs to any target lie within the 2k refs bracketing its
+    # insertion point, so a windowed candidate block replaces a full argsort
+    # per gap (O(G*k log k) total instead of O(G*R log R)). Stable ordering
+    # inside the window preserves the earlier-ref tie-break (equidistant
+    # refs around a gap on a regular bucket grid), matching the oracle.
+    w_len = min(2 * k, n_ref)
+    pos = np.searchsorted(t_ref, t_gap)
+    start = np.clip(pos - k, 0, n_ref - w_len)
+    cand = start[:, None] + np.arange(w_len)[None, :]          # (G, w)
+    d_cand = np.abs(t_ref[cand] - t_gap[:, None])              # (G, w)
+    sel = np.argsort(d_cand, axis=1, kind="stable")[:, :k]     # (G, k)
+    nb = np.take_along_axis(cand, sel, axis=1)                 # ref indices
+    dists = np.take_along_axis(d_cand, sel, axis=1)            # (G, k)
+    zs = v_ref[nb]                                             # (G, k)
 
-        if k == 1:
-            out[j] = zs[0]
-            codes[j] = M_SINGLE
-            continue
+    zmax = zs.max(axis=1)
+    zmean = zs.mean(axis=1)
+    nearest = zs[np.arange(n_gap), np.argmin(dists, axis=1)]
 
-        # P6: low-signal step -> neighbor mean
-        if np.max(zs) < min_var_val_thresh:
-            out[j] = zs.mean()
-            codes[j] = M_LOWSIG
-            continue
+    if k == 1:
+        out[gap_idx] = zs[:, 0]
+        codes[gap_idx] = M_SINGLE
+        rest = np.zeros(n_gap, dtype=bool)
+    else:
+        lowsig = zmax < min_var_val_thresh
+        out[gap_idx[lowsig]] = zmean[lowsig]
+        codes[gap_idx[lowsig]] = M_LOWSIG
+        rest = ~lowsig
 
+    if rest.any():
+        g_rows = np.flatnonzero(rest)
         if method == "NNB":
-            out[j] = zs[np.argmin(dists)]
-            codes[j] = M_NNB
+            out[gap_idx[g_rows]] = nearest[g_rows]
+            codes[gap_idx[g_rows]] = M_NNB
 
         elif method == "IDW":
-            dm = dists.max()
-            dn = dists / dm if dm > 0 else dists
+            d = dists[g_rows]
+            dm = d.max(axis=1)
+            dn = np.where(dm[:, None] > 0, d / np.where(dm == 0, 1, dm)[:, None], d)
             wts = 1.0 / (dn ** idw_exp)
-            wts_sum = wts.sum()
-            assert wts_sum >= 1e-14, wts_sum
-            out[j] = (wts * zs).sum() / wts_sum
-            codes[j] = M_IDW
+            wts_sum = wts.sum(axis=1)
+            assert (wts_sum >= 1e-14).all(), wts_sum.min()
+            out[gap_idx[g_rows]] = (wts * zs[g_rows]).sum(axis=1) / wts_sum
+            codes[gap_idx[g_rows]] = M_IDW
 
         elif method == "OK":
             if nuggety:
-                out[j] = zs.mean()
-                est_var[j] = 0.0
-                codes[j] = M_NUGGET
-                continue
-            key = tuple(nb)
-            inv = pinv_cache.get(key)
-            if inv is None:
-                tt = t_ref[nb]
-                dmat = np.abs(tt[:, None] - tt[None, :])
-                a = np.zeros((k + 1, k + 1), dtype=np.float64)
-                g = vg_vals(vg_str, dmat.ravel()).reshape(k, k)
-                np.fill_diagonal(g, 0.0)
-                a[:k, :k] = g
-                a[k, :k] = 1.0
-                a[:, k] = 1.0
-                a[k, k] = 0.0
-                try:
-                    inv = np.linalg.pinv(a)
-                except Exception:
-                    inv = None
-                pinv_cache[key] = inv
-            if inv is None:
-                # K5: singular system -> NNB fallback
-                out[j] = zs[np.argmin(dists)]
-                est_var[j] = 0.0
-                codes[j] = M_NNB_FALLBACK
-                continue
-            rhs = np.zeros(k + 1, dtype=np.float64)
-            rhs[:k] = vg_vals(vg_str, dists)
-            rhs[k] = 1.0
-            lmds = inv @ rhs
-            if not np.isclose(lmds[:k].sum(), 1.0):
-                out[j] = zs[np.argmin(dists)]
-                est_var[j] = 0.0
-                codes[j] = M_NNB_FALLBACK
+                out[gap_idx[g_rows]] = zmean[g_rows]
+                codes[gap_idx[g_rows]] = M_NUGGET
             else:
-                out[j] = (lmds[:k] * zs).sum()
-                est_var[j] = max(0.0, (lmds[:k] * rhs[:k]).sum() + lmds[k])
-                codes[j] = M_OK
+                _fill_ok(
+                    g_rows, nb, dists, zs, nearest, t_ref, vg_str,
+                    gap_idx, out, est_var, codes, k,
+                )
         else:
             raise NotImplementedError(method)
 
@@ -190,6 +173,60 @@ def fill_series(
     if round_p is not None:
         out[filled] = np.round(out[filled], round_p)
     return out, est_var, codes
+
+
+def _fill_ok(
+    g_rows, nb, dists, zs, nearest, t_ref, vg_str, gap_idx, out, est_var, codes, k
+):
+    """OK solve per gap, grouped by neighbor index-set so each set costs one
+    matrix build + pinv (the reference O2 rewrite, interp/steps.py:333-346).
+    Gamma evaluations are batched per group; the (k+1)-dot solve stays gemv
+    per gap to keep the reduction order identical to the per-step oracle.
+    """
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in g_rows:
+        groups[tuple(nb[r])].append(r)
+
+    for key, rows in groups.items():
+        kk = len(key)
+        tt = t_ref[list(key)]
+        dmat = np.abs(tt[:, None] - tt[None, :])
+        a = np.zeros((kk + 1, kk + 1), dtype=np.float64)
+        g = vg_vals(vg_str, dmat.ravel()).reshape(kk, kk)
+        np.fill_diagonal(g, 0.0)
+        a[:kk, :kk] = g
+        a[kk, :kk] = 1.0
+        a[:, kk] = 1.0
+        a[kk, kk] = 0.0
+        try:
+            inv = np.linalg.pinv(a)
+        except Exception:
+            inv = None
+        rows_arr = np.asarray(rows)
+        if inv is None:
+            # K5: singular system -> NNB fallback
+            out[gap_idx[rows_arr]] = nearest[rows_arr]
+            est_var[gap_idx[rows_arr]] = 0.0
+            codes[gap_idx[rows_arr]] = M_NNB_FALLBACK
+            continue
+        # batched gamma over the whole group's distance block
+        gam = vg_vals(vg_str, dists[rows_arr].ravel()).reshape(len(rows), kk)
+        for i, r in enumerate(rows):
+            rhs = np.zeros(kk + 1, dtype=np.float64)
+            rhs[:kk] = gam[i]
+            rhs[kk] = 1.0
+            lmds = inv @ rhs
+            j = gap_idx[r]
+            if not np.isclose(lmds[:kk].sum(), 1.0):
+                out[j] = nearest[r]
+                est_var[j] = 0.0
+                codes[j] = M_NNB_FALLBACK
+            else:
+                out[j] = (lmds[:kk] * zs[r]).sum()
+                est_var[j] = max(0.0, (lmds[:kk] * rhs[:kk]).sum() + lmds[kk])
+                codes[j] = M_OK
 
 
 def gapfill(
@@ -231,27 +268,30 @@ def gapfill(
 
     group_cols = ["conv_id"]
     if chunk_buckets:
+        # single-pass chunk assignment: each row explodes to its own chunk
+        # plus (for refs near an edge) the neighboring chunk as a pad row —
+        # one scan of the source instead of a 3-way union that would
+        # recompute the upstream spine join three times.
         if pad_buckets is None:
             pad_buckets = params["n_neighbors"] * 4
         span = chunk_buckets * secs
         pad = pad_buckets * secs
-        base = df.select(
-            "*",
-            F.floor(F.col("_t") / span).alias("_chunk"),
-            F.lit(False).alias("_pad"),
+        own = F.floor(F.col("_t") / span)
+        is_ref = F.col("_v").isNotNull()
+        memberships = F.concat(
+            F.array(F.struct(own.alias("c"), F.lit(False).alias("p"))),
+            F.when(
+                is_ref & (F.col("_t") % span < pad),
+                F.array(F.struct((own - 1).alias("c"), F.lit(True).alias("p"))),
+            ).otherwise(F.array().cast("array<struct<c:bigint,p:boolean>>")),
+            F.when(
+                is_ref & (F.col("_t") % span >= span - pad),
+                F.array(F.struct((own + 1).alias("c"), F.lit(True).alias("p"))),
+            ).otherwise(F.array().cast("array<struct<c:bigint,p:boolean>>")),
         )
-        refs = df.where(F.col("_v").isNotNull())
-        lpad = refs.where(F.col("_t") % span < pad).select(
-            "*",
-            (F.floor(F.col("_t") / span) - 1).alias("_chunk"),
-            F.lit(True).alias("_pad"),
-        )
-        rpad = refs.where(F.col("_t") % span >= span - pad).select(
-            "*",
-            (F.floor(F.col("_t") / span) + 1).alias("_chunk"),
-            F.lit(True).alias("_pad"),
-        )
-        df = base.unionByName(lpad).unionByName(rpad)
+        df = df.select("*", F.explode(memberships).alias("_m")).select(
+            "*", F.col("_m.c").alias("_chunk"), F.col("_m.p").alias("_pad")
+        ).drop("_m")
         group_cols = ["conv_id", "_chunk"]
     else:
         df = df.select("*", F.lit(0).alias("_chunk"), F.lit(False).alias("_pad"))
@@ -261,25 +301,37 @@ def gapfill(
         "est_var double, fill_method string"
     )
 
-    def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_t", kind="mergesort")
-        vg = None
-        if method == "OK":
-            vgs = pdf["vg_str"].dropna()
-            vg = vgs.iloc[0] if len(vgs) else "nan"
-        filled, est, codes = fill_series(
-            pdf["_t"].to_numpy(np.int64),
-            pdf["_v"].to_numpy(np.float64),
-            method=method,
-            vg_str=vg,
-            idw_exp=params["idw_exp"],
-            n_neighbors=params["n_neighbors"],
-            min_var_val_thresh=params["min_var_val_thresh"],
-            min_vg_val=params["min_vg_val"],
-            min_cut=params.get("min_cut"),
-            max_cut=params.get("max_cut"),
-            round_p=params.get("round_p"),
-        )
+    from spinterps_spark.operators.grouped import apply_grouped_batches, group_bounds
+
+    kw = dict(
+        method=method,
+        idw_exp=params["idw_exp"],
+        n_neighbors=params["n_neighbors"],
+        min_var_val_thresh=params["min_var_val_thresh"],
+        min_vg_val=params["min_vg_val"],
+        min_cut=params.get("min_cut"),
+        max_cut=params.get("max_cut"),
+        round_p=params.get("round_p"),
+    )
+
+    def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts = group_bounds(pdf, group_cols)
+        ends = np.append(starts[1:], len(pdf))
+        t_all = pdf["_t"].to_numpy(np.int64)
+        v_all = pdf["_v"].to_numpy(np.float64)
+        vg_all = pdf["vg_str"].to_numpy() if method == "OK" else None
+        filled = np.empty(len(pdf), dtype=np.float64)
+        est = np.empty(len(pdf), dtype=np.float64)
+        codes = np.empty(len(pdf), dtype=object)
+        for s, e in zip(starts, ends):
+            vg = None
+            if method == "OK":
+                nn = pd.notna(vg_all[s:e])
+                vg = vg_all[s:e][nn][0] if nn.any() else "nan"
+            f, ev, cd = fill_series(t_all[s:e], v_all[s:e], vg_str=vg, **kw)
+            filled[s:e] = f
+            est[s:e] = ev
+            codes[s:e] = cd
         keep = ~pdf["_pad"].to_numpy()
         return pd.DataFrame(
             {
@@ -291,4 +343,4 @@ def gapfill(
             }
         )
 
-    return df.groupBy(*group_cols).applyInPandas(fill_group, schema=out_schema)
+    return apply_grouped_batches(df, group_cols, "_t", fill_batch, out_schema)

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale ladder:
+- brute-force cosine top-k: exact baseline; JVM-side zip_with/aggregate dot
+  products (whole-stage codegen, no Python), broadcast of the query set.
+  Cost O(Q*N) — correct choice when Q is small or N fits a broadcast.
+- LSH-bucketed (random hyperplane / SRP) top-k: the 100 TB path. Each vector
+  is hashed into `n_tables` signatures of `n_bits` sign bits; candidates are
+  vectors sharing a (table, signature) bucket; exact cosine re-ranks the
+  candidates only. Recall tunes with n_tables/n_bits. All bucketing is a
+  plain groupBy/join shuffle on (table, signature) — no cross join ever.
+
+Hyperplanes are generated deterministically from a seed via splitmix64, so
+results are reproducible run-to-run and across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from spinterps_spark.datagen import _mix
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                              lambda acc, x: acc + x))
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k: broadcast queries x all vectors, rank by cosine.
+    Deterministic tie-break by neighbor id."""
+    v = vectors.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(emb_col)).alias("emb")
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), _as_double(F.col(emb_col)).alias("q_emb")
+    )
+    j = v.crossJoin(F.broadcast(q)).where(F.col("n_id") != F.col("q_id"))
+    sim = _dot(F.col("q_emb"), F.col("emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("emb"))
+    )
+    j = j.select("q_id", "n_id", sim.alias("sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def hyperplanes(seed: int, n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic Gaussian-ish hyperplanes from splitmix64 bits
+    (sum of 4 uniforms, CLT-normal enough for SRP signs)."""
+    n = n_tables * n_bits * dim
+    i = np.arange(4 * n, dtype=np.uint64)
+    u = (_mix(seed, i, 77) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    g = u.reshape(4, n).sum(axis=0) - 2.0
+    return g.reshape(n_tables, n_bits, dim)
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    seed: int = 7,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection signatures: (id, table, sig). JVM-side only:
+    the hyperplane tensor becomes literal arrays folded via aggregate()."""
+    planes = hyperplanes(seed, n_tables, n_bits, dim)
+    v = vectors.select(F.col(id_col).alias("n_id"), _as_double(F.col(emb_col)).alias("emb"))
+    rows = []
+    for t in range(n_tables):
+        bits = None
+        for b in range(n_bits):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            s = (_dot(F.col("emb"), plane) >= 0).cast("long")
+            bits = s if bits is None else bits * 2 + s
+        rows.append(
+            v.select("n_id", F.lit(t).alias("tbl"), bits.alias("sig"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    seed: int = 7,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Approximate top-k: SRP bucket join -> exact cosine re-rank of
+    candidates. Never materializes the full Q x N product."""
+    v_sig = srp_signatures(vectors, seed, n_tables, n_bits, dim, id_col, emb_col)
+    q_sig = srp_signatures(queries, seed, n_tables, n_bits, dim, q_id_col, emb_col)
+    q_sig = q_sig.withColumnRenamed("n_id", "q_id")
+
+    cand = (
+        v_sig.join(q_sig, ["tbl", "sig"])
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col).alias("n_id"), _as_double(F.col(emb_col)).alias("emb"))
+    q = queries.select(F.col(q_id_col).alias("q_id"), _as_double(F.col(emb_col)).alias("q_emb"))
+    j = cand.join(v, "n_id").join(F.broadcast(q), "q_id")
+    sim = _dot(F.col("q_emb"), F.col("emb")) / (_norm(F.col("q_emb")) * _norm(F.col("emb")))
+    j = j.select("q_id", "n_id", sim.alias("sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    sim_threshold: float = 0.95,
+    seed: int = 7,
+    n_tables: int = 6,
+    n_bits: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the same SRP buckets:
+    pairs sharing any bucket, exact cosine >= threshold, a<b distinct."""
+    sig = srp_signatures(vectors, seed, n_tables, n_bits, dim, id_col, emb_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("a.n_id") < F.col("b.n_id"))
+        .select(F.col("a.n_id").alias("id_a"), F.col("b.n_id").alias("id_b"))
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(F.col(emb_col)).alias("emb"))
+    j = (
+        cand.join(v.withColumnRenamed("id", "id_a").withColumnRenamed("emb", "ea"), "id_a")
+        .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("emb", "eb"), "id_b")
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return j.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= sim_threshold)

@@ -35,9 +35,16 @@ CKPT_SCHEMA = (
 
 
 class CheckpointLog:
+    """Lineage rows are appended driver-side with pyarrow (milliseconds, no
+    Spark job — the reference's lock-held incremental writes were similarly
+    out-of-band of the compute, interp/steps.py:895-949) and read back
+    through Spark for resume/reporting. The done-set is cached per process;
+    a fresh CheckpointLog (fresh driver) re-reads from disk."""
+
     def __init__(self, spark, ckpt_dir: str):
         self.spark = spark
         self.dir = ckpt_dir
+        self._done: set[tuple[str, str, int]] | None = None
 
     def read(self) -> DataFrame:
         try:
@@ -45,27 +52,49 @@ class CheckpointLog:
         except Exception:
             return self.spark.createDataFrame([], CKPT_SCHEMA)
 
+    def _load_done(self) -> set[tuple[str, str, int]]:
+        if self._done is None:
+            rows = (
+                self.read()
+                .where(F.col("status") == "done")
+                .select("run_id", "tier", "wave")
+                .collect()
+            )
+            self._done = {(r.run_id, r.tier, r.wave) for r in rows}
+        return self._done
+
     def done_waves(self, run_id: str, tier: str) -> set[int]:
-        df = self.read()
-        rows = (
-            df.where((F.col("run_id") == run_id) & (F.col("tier") == tier)
-                     & (F.col("status") == "done"))
-            .select("wave")
-            .collect()
-        )
-        return {r.wave for r in rows}
+        return {
+            w for (r, t, w) in self._load_done() if r == run_id and t == tier
+        }
 
     def append(self, row: dict):
-        pdf = self.spark.createDataFrame(
-            [(
-                row["run_id"], row["tier"], row["wave"], row["status"],
-                row["rows_in"], row["rows_out"], row["checksum"],
-                row["wall_sec"],
-            )],
-            "run_id string, tier string, wave int, status string, rows_in long,"
-            " rows_out long, checksum long, wall_sec double",
-        ).withColumn("ts", F.current_timestamp())
-        pdf.coalesce(1).write.mode("append").parquet(self.dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import datetime
+
+        os.makedirs(self.dir, exist_ok=True)
+        table = pa.table(
+            {
+                "run_id": [row["run_id"]],
+                "tier": [row["tier"]],
+                "wave": pa.array([row["wave"]], pa.int32()),
+                "status": [row["status"]],
+                "rows_in": pa.array([row["rows_in"]], pa.int64()),
+                "rows_out": pa.array([row["rows_out"]], pa.int64()),
+                "checksum": pa.array([row["checksum"]], pa.int64()),
+                "wall_sec": pa.array([row["wall_sec"]], pa.float64()),
+                "ts": pa.array(
+                    [datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        path = os.path.join(self.dir, f"ckpt-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        if self._done is not None and row["status"] == "done":
+            self._done.add((row["run_id"], row["tier"], row["wave"]))
 
 
 def wave_col(n_waves: int):
@@ -75,9 +104,10 @@ def wave_col(n_waves: int):
 def checksum_agg(df: DataFrame, cols: list[str]):
     """Order-insensitive content checksum: sum of xxhash64 over row images.
     Cheap lineage fingerprint comparable between runs."""
-    h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
-    # decimal accumulator: sum of 2^63-scale hashes overflows long under
-    # ANSI mode; fold back into long range after the exact decimal sum.
+    # raw-typed hash (no string casts: casting 10^7 timestamps to strings
+    # costs more than the whole pass); decimal accumulator because a sum of
+    # 2^63-scale hashes overflows long under ANSI mode.
+    h = F.xxhash64(*[F.col(c) for c in cols])
     dec_sum = F.sum(h.cast("decimal(38,0)"))
     return df.agg(
         F.pmod(dec_sum, F.lit(2**62)).cast("long").alias("checksum"),
@@ -95,11 +125,17 @@ def run_waved_pass(
     tier: str,
     n_waves: int = 4,
     checksum_cols: list[str] | None = None,
+    count_input: bool = False,
 ) -> DataFrame:
     """Execute `transform(source_subset)` per conversation-hash wave,
     writing each wave's output to out_dir/wave=K and checkpointing it.
     Already-done waves (same run_id+tier) are skipped on resume.
-    Returns the unioned output DataFrame (read back from disk)."""
+    Returns the unioned output DataFrame (read back from disk).
+
+    count_input=True records exact rows_in per wave in the lineage row at
+    the cost of one extra evaluation of the wave's input; default keeps
+    lineage cheap (rows_in=-1) since rows_out+checksum already pin the
+    output content."""
     done = ckpt.done_waves(run_id, tier)
     src = source.withColumn("_wave", wave_col(n_waves))
     for w in range(n_waves):
@@ -116,7 +152,7 @@ def run_waved_pass(
         ckpt.append(
             dict(
                 run_id=run_id, tier=tier, wave=w, status="done",
-                rows_in=sub.count(), rows_out=stats.cnt,
+                rows_in=sub.count() if count_input else -1, rows_out=stats.cnt,
                 checksum=stats.checksum if stats.checksum is not None else 0,
                 wall_sec=time.time() - t0,
             )

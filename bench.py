@@ -62,7 +62,9 @@ def main():
         n_salt=16,
         n_waves=1,
         fill_method="IDW",
-        fill_knobs={"chunk_buckets": 4096, "pad_buckets": 64},
+        fill_knobs={"chunk_buckets": 3840, "pad_buckets": 64},
+        fuse_fill_and_chunks=True,
+        n_turns_hint=actual_turns,
     )
     pipeline_sec = time.time() - t0
     out["pipeline_all_tiers"] = round(pipeline_sec, 3)

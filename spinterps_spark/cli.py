@@ -1,0 +1,147 @@
+"""spark-submit entry point for the retention engine.
+
+Usage (cluster):
+    spark-submit --py-files spinterps_spark.zip -m ... cli.py rollup \
+        --input <transcripts path/table> --out <warehouse dir> \
+        --tiers 1m,1h,1d --fill IDW --waves 8 --salt 64 [--resume RUN_ID]
+
+    spark-submit --py-files spinterps_spark.zip cli.py synth \
+        --turns 1000000 --out <dir>
+
+Local smoke:
+    python -m spinterps_spark.cli rollup --input <parquet> --out /tmp/wh
+
+The script only uses SparkSession.builder.getOrCreate(), so all cluster
+sizing (master, executors, memory) comes from spark-submit — the same
+artifact runs at N and 4N executors (BASELINE.md scaling protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_rollup(args) -> int:
+    from spinterps_spark.plans.pipeline import run_retention_pipeline
+
+    spark = _spark("spinterps_spark.rollup")
+    reader = spark.read
+    if args.format == "iceberg":
+        transcripts = spark.read.table(args.input)
+    else:
+        transcripts = reader.parquet(args.input)
+    coords = vg_dim = None
+    if args.coords:
+        coords = spark.read.parquet(args.coords)
+    if args.vg_dim:
+        vg_dim = spark.read.parquet(args.vg_dim)
+    metrics = run_retention_pipeline(
+        spark,
+        transcripts,
+        args.out,
+        tiers=tuple(args.tiers.split(",")),
+        fill_method=args.fill,
+        coords=coords,
+        vg_dim=vg_dim,
+        n_salt=args.salt,
+        n_waves=args.waves,
+        run_id=args.resume,
+        fill_knobs={"chunk_buckets": args.chunk_buckets, "pad_buckets": args.pad_buckets},
+        fuse_fill_and_chunks=not args.materialize_filled,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from spinterps_spark import datagen
+
+    spark = _spark("spinterps_spark.synth")
+    datagen.transcripts_spark(
+        spark, seed=args.seed, n_turns_target=args.turns
+    ).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "turns_target": args.turns, "seed": args.seed}))
+    return 0
+
+
+def cmd_fit_variograms(args) -> int:
+    from pyspark.sql import functions as F
+
+    from spinterps_spark.operators import rollup as R
+    from spinterps_spark.operators import variogram as V
+
+    spark = _spark("spinterps_spark.fitvgs")
+    t = spark.read.parquet(args.input)
+    coords = spark.read.parquet(args.coords)
+    h1 = R.rollup_tier(R.base_rollup(t, "1m"), args.tier, min_cnt=1)
+    ser = h1.select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
+    )
+    evg = V.empirical_variogram(ser, coords, "v", estimator=args.estimator)
+    dim = V.fit_cluster_variograms(evg)
+    dim.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "clusters": dim.count()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spinterps_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("rollup", help="run the retention tier cascade")
+    r.add_argument("--input", required=True)
+    r.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    r.add_argument("--out", required=True)
+    r.add_argument("--tiers", default="1m,1h,1d")
+    r.add_argument("--fill", default="IDW", choices=["IDW", "OK", "NNB"])
+    r.add_argument("--coords", default=None)
+    r.add_argument("--vg-dim", dest="vg_dim", default=None)
+    r.add_argument("--salt", type=int, default=16)
+    r.add_argument("--waves", type=int, default=4)
+    r.add_argument("--chunk-buckets", type=int, default=3840)
+    r.add_argument(
+        "--materialize-filled", action="store_true",
+        help="write the filled series as parquet too (default: fused "
+        "fill+Gorilla pass; the chunk table is the tier storage)",
+    )
+    r.add_argument("--pad-buckets", type=int, default=64)
+    r.add_argument("--resume", default=None, help="run_id to resume")
+    r.set_defaults(fn=cmd_rollup)
+
+    s = sub.add_parser("synth", help="generate deterministic transcripts")
+    s.add_argument("--turns", type=int, required=True)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_synth)
+
+    f = sub.add_parser("fit-variograms", help="fit per-cluster variograms")
+    f.add_argument("--input", required=True)
+    f.add_argument("--coords", required=True)
+    f.add_argument("--tier", default="1h")
+    f.add_argument("--estimator", default="classic", choices=["classic", "mean"])
+    f.add_argument("--out", required=True)
+    f.set_defaults(fn=cmd_fit_variograms)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

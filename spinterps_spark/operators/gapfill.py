@@ -42,7 +42,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from spinterps_spark import TIER_SECONDS
-from spinterps_spark.functions.vg_models import check_full_nuggetness, vg_vals
+from spinterps_spark.functions.vg_models import (
+    check_full_nuggetness,
+    parse_vg_str,
+    vg_vals,
+)
 
 DEFAULTS = dict(
     idw_exp=5.0,          # reference canonical knob (test/test_interp.py:98)
@@ -71,6 +75,7 @@ def fill_series(
     min_cut: float | None = None,
     max_cut: float | None = None,
     round_p: int | None = DEFAULTS["round_p"],
+    ik_lim: float = 1.0,
 ):
     """Fill NaNs of v (float64) at times t (int64 seconds, sorted asc).
 
@@ -95,10 +100,11 @@ def fill_series(
 
     t_ref = t[ref_idx]
     v_ref = v[ref_idx]
-    if method == "OK" and (vg_str is None or str(vg_str) == "nan"):
+    kriging = method in ("OK", "SK", "EDK", "IK")
+    if kriging and (vg_str is None or str(vg_str) == "nan"):
         # reference behavior: interp/steps.py:332-333 raise on NaN variogram
         raise ValueError("NaN VG!")
-    nuggety = method == "OK" and check_full_nuggetness(vg_str, min_vg_val)
+    nuggety = kriging and check_full_nuggetness(vg_str, min_vg_val)
 
     n_ref = len(ref_idx)
     n_gap = len(gap_idx)
@@ -151,14 +157,15 @@ def fill_series(
             out[gap_idx[g_rows]] = (wts * zs[g_rows]).sum(axis=1) / wts_sum
             codes[gap_idx[g_rows]] = M_IDW
 
-        elif method == "OK":
+        elif method in ("OK", "SK", "EDK", "IK"):
             if nuggety:
                 out[gap_idx[g_rows]] = zmean[g_rows]
                 codes[gap_idx[g_rows]] = M_NUGGET
             else:
-                _fill_ok(
-                    g_rows, nb, dists, zs, nearest, t_ref, vg_str,
-                    gap_idx, out, est_var, codes, k,
+                _fill_krige(
+                    method, g_rows, nb, dists, zs, nearest, t_ref, v_ref,
+                    t_gap, vg_str, gap_idx, out, est_var, codes,
+                    ik_lim=ik_lim,
                 )
         else:
             raise NotImplementedError(method)
@@ -175,13 +182,25 @@ def fill_series(
     return out, est_var, codes
 
 
-def _fill_ok(
-    g_rows, nb, dists, zs, nearest, t_ref, vg_str, gap_idx, out, est_var, codes, k
+def _fill_krige(
+    method, g_rows, nb, dists, zs, nearest, t_ref, v_ref, t_gap, vg_str,
+    gap_idx, out, est_var, codes, ik_lim=1.0,
 ):
-    """OK solve per gap, grouped by neighbor index-set so each set costs one
-    matrix build + pinv (the reference O2 rewrite, interp/steps.py:333-346).
-    Gamma evaluations are batched per group; the (k+1)-dot solve stays gemv
-    per gap to keep the reduction order identical to the per-step oracle.
+    """Kriging solves per gap, grouped by neighbor index-set so each set
+    costs one matrix build + pinv (the reference O2 rewrite,
+    interp/steps.py:333-346). Gamma evaluations are batched per group; the
+    small dot-product solve stays gemv per gap to keep the reduction order
+    identical to the per-step oracle.
+
+    Variants (reference cyth/interpmthds.pyx):
+    - OK  (251-362): gamma matrix + Lagrange border; sum(lambda)~1 sanity.
+    - SK  (365-471): covariance form C = total_sill - gamma, no border;
+      est_covar = max(0, C0 - sum(lambda*rhs)). Deprecated in the reference
+      pipeline (interp/main.py:263-265) but kept for parity.
+    - EDK (474-585): OK border + one drift row/col; drift here = linear
+      time (days since group start) — the temporal analog of raster drift.
+    - IK  (722-742): OK lambdas applied to indicator(z <= lim); value in
+      [0,1], est_var = ik*(1-ik).
     """
     from collections import defaultdict
 
@@ -189,17 +208,33 @@ def _fill_ok(
     for r in g_rows:
         groups[tuple(nb[r])].append(r)
 
+    total_sill = sum(s for s, _m, _r in parse_vg_str(vg_str))
+    t0_drift = t_ref.min()
+
     for key, rows in groups.items():
         kk = len(key)
-        tt = t_ref[list(key)]
+        key_l = list(key)
+        tt = t_ref[key_l]
         dmat = np.abs(tt[:, None] - tt[None, :])
-        a = np.zeros((kk + 1, kk + 1), dtype=np.float64)
         g = vg_vals(vg_str, dmat.ravel()).reshape(kk, kk)
         np.fill_diagonal(g, 0.0)
-        a[:kk, :kk] = g
-        a[kk, :kk] = 1.0
-        a[:, kk] = 1.0
-        a[kk, kk] = 0.0
+
+        if method == "SK":
+            a = total_sill - g
+        elif method == "EDK":
+            a = np.zeros((kk + 2, kk + 2), dtype=np.float64)
+            a[:kk, :kk] = g
+            a[kk, :kk] = 1.0
+            a[:kk, kk] = 1.0
+            drift = (tt - t0_drift) / 86400.0
+            a[kk + 1, :kk] = drift
+            a[:kk, kk + 1] = drift
+        else:  # OK / IK
+            a = np.zeros((kk + 1, kk + 1), dtype=np.float64)
+            a[:kk, :kk] = g
+            a[kk, :kk] = 1.0
+            a[:, kk] = 1.0
+            a[kk, kk] = 0.0
         try:
             inv = np.linalg.pinv(a)
         except Exception:
@@ -213,16 +248,39 @@ def _fill_ok(
             continue
         # batched gamma over the whole group's distance block
         gam = vg_vals(vg_str, dists[rows_arr].ravel()).reshape(len(rows), kk)
+        ix = np.where(zs <= ik_lim, 1.0, 0.0) if method == "IK" else None
         for i, r in enumerate(rows):
-            rhs = np.zeros(kk + 1, dtype=np.float64)
-            rhs[:kk] = gam[i]
-            rhs[kk] = 1.0
-            lmds = inv @ rhs
             j = gap_idx[r]
+            if method == "SK":
+                rhs = total_sill - gam[i]
+                lmds = inv @ rhs
+                out[j] = (lmds * zs[r]).sum()
+                est_var[j] = max(0.0, total_sill - (lmds * rhs).sum())
+                codes[j] = M_OK
+                continue
+            if method == "EDK":
+                rhs = np.zeros(kk + 2, dtype=np.float64)
+                rhs[:kk] = gam[i]
+                rhs[kk] = 1.0
+                rhs[kk + 1] = (t_gap[r] - t0_drift) / 86400.0
+            else:
+                rhs = np.zeros(kk + 1, dtype=np.float64)
+                rhs[:kk] = gam[i]
+                rhs[kk] = 1.0
+            lmds = inv @ rhs
             if not np.isclose(lmds[:kk].sum(), 1.0):
                 out[j] = nearest[r]
                 est_var[j] = 0.0
                 codes[j] = M_NNB_FALLBACK
+            elif method == "IK":
+                ik = max(0.0, (lmds[:kk] * ix[r]).sum())
+                out[j] = ik
+                est_var[j] = max(0.0, ik * (1.0 - ik))
+                codes[j] = M_OK
+            elif method == "EDK":
+                out[j] = (lmds[:kk] * zs[r]).sum()
+                est_var[j] = 0.0
+                codes[j] = M_OK
             else:
                 out[j] = (lmds[:kk] * zs[r]).sum()
                 est_var[j] = max(0.0, (lmds[:kk] * rhs[:kk]).sum() + lmds[kk])
@@ -238,13 +296,21 @@ def gapfill(
     tier: str = "1h",
     chunk_buckets: int | None = None,
     pad_buckets: int | None = None,
+    emit: str = "filled",
+    gorilla_chunk: int = 120,
     **knobs,
 ) -> DataFrame:
     """Fill gaps of `value_col` in a spined rollup (NULL == gap).
 
     vg_dim: optional small dim (cluster_id int, vg_str string) for OK —
     broadcast-joined via coords (conv_id -> cluster_id). Output columns:
-    conv_id, bucket_ts, <value_col>_filled, est_var, fill_method.
+    conv_id, bucket_ts, value_filled, est_var, fill_method.
+
+    emit='chunks' fuses Gorilla encoding into the same grouped pass (no
+    second shuffle of the filled series): output is the chunk-struct schema
+    of compress/gorilla.py, windows time-aligned at gorilla_chunk buckets.
+    Requires chunk_buckets % gorilla_chunk == 0 (windows nest in fill
+    chunks, so every chunk is complete within its group).
     """
     params = {**DEFAULTS, **knobs}
     secs = TIER_SECONDS[tier]
@@ -256,9 +322,10 @@ def gapfill(
         F.unix_timestamp("bucket_ts").alias("_t"),
     )
 
-    if method == "OK":
+    kriging = method in ("OK", "SK", "EDK", "IK")
+    if kriging:
         if coords is None or vg_dim is None:
-            raise ValueError("OK needs coords (conv_id->cluster_id) and vg_dim")
+            raise ValueError(f"{method} needs coords (conv_id->cluster_id) and vg_dim")
         dim = coords.select("conv_id", "cluster_id").join(
             vg_dim.select("cluster_id", "vg_str"), "cluster_id", "left"
         )
@@ -296,6 +363,9 @@ def gapfill(
     else:
         df = df.select("*", F.lit(0).alias("_chunk"), F.lit(False).alias("_pad"))
 
+    if emit == "chunks" and chunk_buckets and chunk_buckets % gorilla_chunk != 0:
+        raise ValueError("chunk_buckets must be a multiple of gorilla_chunk")
+
     out_schema = (
         "conv_id string, bucket_ts timestamp, value_filled double, "
         "est_var double, fill_method string"
@@ -312,6 +382,7 @@ def gapfill(
         min_cut=params.get("min_cut"),
         max_cut=params.get("max_cut"),
         round_p=params.get("round_p"),
+        ik_lim=params.get("ik_lim", 1.0),
     )
 
     def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -319,13 +390,13 @@ def gapfill(
         ends = np.append(starts[1:], len(pdf))
         t_all = pdf["_t"].to_numpy(np.int64)
         v_all = pdf["_v"].to_numpy(np.float64)
-        vg_all = pdf["vg_str"].to_numpy() if method == "OK" else None
+        vg_all = pdf["vg_str"].to_numpy() if kriging else None
         filled = np.empty(len(pdf), dtype=np.float64)
         est = np.empty(len(pdf), dtype=np.float64)
         codes = np.empty(len(pdf), dtype=object)
         for s, e in zip(starts, ends):
             vg = None
-            if method == "OK":
+            if kriging:
                 nn = pd.notna(vg_all[s:e])
                 vg = vg_all[s:e][nn][0] if nn.any() else "nan"
             f, ev, cd = fill_series(t_all[s:e], v_all[s:e], vg_str=vg, **kw)
@@ -333,6 +404,14 @@ def gapfill(
             est[s:e] = ev
             codes[s:e] = cd
         keep = ~pdf["_pad"].to_numpy()
+        if emit == "chunks":
+            return _encode_filled(
+                pdf["conv_id"].to_numpy()[keep],
+                t_all[keep],
+                filled[keep],
+                tier,
+                gorilla_chunk * secs,
+            )
         return pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].to_numpy()[keep],
@@ -343,4 +422,42 @@ def gapfill(
             }
         )
 
+    if emit == "chunks":
+        from spinterps_spark.compress.gorilla import CHUNK_SCHEMA
+
+        return apply_grouped_batches(df, group_cols, "_t", fill_batch, CHUNK_SCHEMA)
     return apply_grouped_batches(df, group_cols, "_t", fill_batch, out_schema)
+
+
+def _encode_filled(conv_arr, t_arr, v_arr, tier: str, span: int) -> pd.DataFrame:
+    """Gorilla-encode filled (conv-sorted, time-sorted) arrays into
+    time-aligned chunk rows (fused fill+encode path)."""
+    from spinterps_spark.compress.gorilla import encode_chunk
+
+    n = len(conv_arr)
+    cols = {k: [] for k in (
+        "conv_id", "n", "first_ts", "first_val", "ts_d2d", "vals_xor")}
+    if n:
+        ck = t_arr // span
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = (conv_arr[1:] != conv_arr[:-1]) | (ck[1:] != ck[:-1])
+        starts = np.append(np.flatnonzero(change), n)
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            ok = ~np.isnan(v_arr[s:e])
+            if not ok.any():
+                continue
+            c = encode_chunk(t_arr[s:e][ok], v_arr[s:e][ok])
+            cols["conv_id"].append(conv_arr[s])
+            cols["n"].append(c["n"])
+            cols["first_ts"].append(c["first_ts"])
+            cols["first_val"].append(c["first_val"])
+            cols["ts_d2d"].append(c["ts_d2d"])
+            cols["vals_xor"].append(c["vals_xor"])
+    out = pd.DataFrame(cols)
+    out.insert(1, "tier", tier)
+    out.insert(2, "chunk_start_ts", pd.to_datetime(
+        np.asarray(cols["first_ts"], dtype="int64"), unit="s"))
+    return out[["conv_id", "tier", "chunk_start_ts", "n",
+                "first_ts", "first_val", "ts_d2d", "vals_xor"]]

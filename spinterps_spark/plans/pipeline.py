@@ -40,6 +40,8 @@ def run_retention_pipeline(
     min_cnt: dict | None = None,
     gorilla: bool = True,
     fill_knobs: dict | None = None,
+    n_turns_hint: int | None = None,
+    fuse_fill_and_chunks: bool = False,
 ) -> dict:
     """Run (or resume) the full tier cascade. Returns a metrics dict.
 
@@ -56,7 +58,8 @@ def run_retention_pipeline(
     t_start = time.time()
     metrics = {"run_id": run_id, "tiers": {}}
 
-    n_turns = transcripts.count()
+    # avoid a dedicated count scan when the caller already knows the volume
+    n_turns = n_turns_hint if n_turns_hint is not None else transcripts.count()
     metrics["n_turns"] = n_turns
 
     lower: DataFrame | None = None
@@ -83,32 +86,44 @@ def run_retention_pipeline(
             (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
         )
 
-        def fill(sub, _tier=tier):
-            return gapfill(
-                sub, fill_metric, method=fill_method, tier=_tier,
-                coords=coords, vg_dim=vg_dim, **fill_knobs,
-            )
-
-        filled = run_waved_pass(
-            spark, ser, fill, os.path.join(out_dir, f"filled/tier={tier}"),
-            ckpt, run_id, f"filled:{tier}", n_waves=n_waves,
-        )
-
-        if gorilla:
-            def chunk(sub, _tier=tier):
-                return encode_tier_chunks(
-                    sub.where(F.col("value_filled").isNotNull()), _tier
+        if fuse_fill_and_chunks and gorilla:
+            # one grouped pass: fill + Gorilla encode (no second shuffle of
+            # the filled series; the chunk table IS the tier storage)
+            def fill_chunk(sub, _tier=tier):
+                return gapfill(
+                    sub, fill_metric, method=fill_method, tier=_tier,
+                    coords=coords, vg_dim=vg_dim, emit="chunks", **fill_knobs,
                 )
 
             run_waved_pass(
-                spark, filled, chunk, os.path.join(out_dir, f"chunks/tier={tier}"),
+                spark, ser, fill_chunk,
+                os.path.join(out_dir, f"chunks/tier={tier}"),
                 ckpt, run_id, f"chunks:{tier}", n_waves=n_waves,
             )
+        else:
+            def fill(sub, _tier=tier):
+                return gapfill(
+                    sub, fill_metric, method=fill_method, tier=_tier,
+                    coords=coords, vg_dim=vg_dim, **fill_knobs,
+                )
 
-        metrics["tiers"][tier] = {
-            "buckets": rolled.count(),
-            "wall_sec": time.time() - t0,
-        }
+            filled = run_waved_pass(
+                spark, ser, fill, os.path.join(out_dir, f"filled/tier={tier}"),
+                ckpt, run_id, f"filled:{tier}", n_waves=n_waves,
+            )
+
+            if gorilla:
+                def chunk(sub, _tier=tier):
+                    return encode_tier_chunks(
+                        sub.where(F.col("value_filled").isNotNull()), _tier
+                    )
+
+                run_waved_pass(
+                    spark, filled, chunk, os.path.join(out_dir, f"chunks/tier={tier}"),
+                    ckpt, run_id, f"chunks:{tier}", n_waves=n_waves,
+                )
+
+        metrics["tiers"][tier] = {"wall_sec": time.time() - t0}
         lower = rolled
 
     metrics["wall_sec"] = time.time() - t_start

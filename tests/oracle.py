@@ -136,6 +136,7 @@ def spine_pandas(rollup: pd.DataFrame, tier_seconds: int) -> pd.DataFrame:
 def fill_one(
     t_target, t_ref, v_ref, method, vg_str=None,
     idw_exp=5.0, n_neighbors=8, min_var_val_thresh=0.1, min_vg_val=1e-4,
+    ik_lim=1.0,
 ):
     """Fill a single gap — straight-line reference-formula version."""
     d_all = np.abs(np.asarray(t_ref, float) - float(t_target))
@@ -157,15 +158,44 @@ def fill_one(
         dn = dists / dm if dm > 0 else dists
         w = 1.0 / dn**idw_exp
         return float((w * zs).sum() / w.sum()), 0.0, "idw"
-    if method == "OK":
+    if method in ("OK", "SK", "EDK", "IK"):
         if is_nugget(vg_str, min_vg_val):
             return float(zs.mean()), 0.0, "nugget_mean"
         tt = np.asarray(t_ref, float)[nb]
-        a = np.zeros((k + 1, k + 1))
+        gam = np.zeros((k, k))
         for i in range(k):
             for j in range(k):
                 if i != j:
-                    a[i, j] = vg_eval(vg_str, np.array([abs(tt[i] - tt[j])]))[0]
+                    gam[i, j] = vg_eval(vg_str, np.array([abs(tt[i] - tt[j])]))[0]
+        total_sill = sum(float(s.strip().split(" ")[0]) for s in str(vg_str).split("+"))
+        if method == "SK":
+            a = total_sill - gam
+            inv = np.linalg.pinv(a)
+            rhs = total_sill - vg_eval(vg_str, dists)
+            lm = inv @ rhs
+            est = float((lm * zs).sum())
+            ev = max(0.0, float(total_sill - (lm * rhs).sum()))
+            return est, ev, "ok"
+        if method == "EDK":
+            t0 = float(np.asarray(t_ref, float).min())
+            drift = (tt - t0) / 86400.0
+            a = np.zeros((k + 2, k + 2))
+            a[:k, :k] = gam
+            a[k, :k] = 1.0
+            a[:k, k] = 1.0
+            a[k + 1, :k] = drift
+            a[:k, k + 1] = drift
+            inv = np.linalg.pinv(a)
+            rhs = np.zeros(k + 2)
+            rhs[:k] = vg_eval(vg_str, dists)
+            rhs[k] = 1.0
+            rhs[k + 1] = (float(t_target) - t0) / 86400.0
+            lm = inv @ rhs
+            if not np.isclose(lm[:k].sum(), 1.0):
+                return float(zs[np.argmin(dists)]), 0.0, "nnb_fallback"
+            return float((lm[:k] * zs).sum()), 0.0, "ok"
+        a = np.zeros((k + 1, k + 1))
+        a[:k, :k] = gam
         a[k, :k] = 1.0
         a[:, k] = 1.0
         a[k, k] = 0.0
@@ -176,6 +206,10 @@ def fill_one(
         lm = inv @ rhs
         if not np.isclose(lm[:k].sum(), 1.0):
             return float(zs[np.argmin(dists)]), 0.0, "nnb_fallback"
+        if method == "IK":
+            ix = np.where(zs <= ik_lim, 1.0, 0.0)
+            ik = max(0.0, float((lm[:k] * ix).sum()))
+            return ik, max(0.0, ik * (1.0 - ik)), "ok"
         est = float((lm[:k] * zs).sum())
         ev = max(0.0, float((lm[:k] * rhs[:k]).sum() + lm[k]))
         return est, ev, "ok"

@@ -24,6 +24,7 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 
 def run_once(cpus: int, input_dir: str, zip_path: str, turns: int) -> dict:
     out_dir = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_graft_local")
     cmd = [
         "spark-submit",
         "--master", f"local[{cpus}]",
@@ -31,13 +32,23 @@ def run_once(cpus: int, input_dir: str, zip_path: str, turns: int) -> dict:
         "--conf", "spark.default.parallelism=%d" % cpus,
         "--conf", "spark.driver.memory=%s" % os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.local.dir={local_dir}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--py-files", zip_path,
         os.path.join(ROOT, "spinterps_spark", "cli.py"),
         "rollup", "--input", input_dir, "--out", out_dir,
         "--waves", "1", "--salt", "16",
     ]
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MALLOC_MMAP_THRESHOLD_="1073741824",
+        MALLOC_TRIM_THRESHOLD_="1073741824",
+    )
     t0 = time.time()
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
     wall = time.time() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
     if proc.returncode != 0:

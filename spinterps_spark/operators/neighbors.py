@@ -1,0 +1,105 @@
+"""Neighbor-selection operators (SURVEY.md §2.6 T1-T3).
+
+- knn_neighbors (T1 'nrst'): k nearest refs per destination, the
+  row_number-over-distance pattern (reference interp/grps.py:147-166).
+- pie_neighbors (T2 'pie'): classify refs into n_pies angular sectors around
+  each destination, rank by distance within sector, then select n_nebs by
+  (sector-rank, distance) — round-robin across sectors so neighbors surround
+  the destination instead of clustering on one side
+  (cyth/interpmthds.pyx:811-890; driver interp/grps.py:168-247).
+
+Angle convention copied from the Cython kernel: atan(dy/dx) with quadrant
+shifts (x<0 -> +pi; x>0,y<0 -> +2pi), and the quirk that dx == 0 maps to
+angle 0 regardless of dy (interpmthds.pyx:848-860) — preserved for parity.
+
+Everything is plain DataFrame algebra (window ranks over a distance join):
+broadcast the destination set when small, otherwise a bucketed range join
+feeds the same ranking.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _dist(ax, ay, bx, by):
+    return F.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+
+
+def knn_neighbors(
+    dst: DataFrame, refs: DataFrame, k: int,
+    join_on: str | None = "cluster_id",
+    id_cols: tuple[str, str] = ("conv_id", "conv_id"),
+) -> DataFrame:
+    """(dst_id, neighbor_id, dist, rn<=k), deterministic rank tiebreak."""
+    d = dst.select(
+        F.col(id_cols[0]).alias("dst_id"), F.col("x").alias("dx"),
+        F.col("y").alias("dy"),
+        *( [F.col(join_on).alias("_j")] if join_on else [] ),
+    )
+    r = refs.select(
+        F.col(id_cols[1]).alias("neighbor_id"), F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+        *( [F.col(join_on).alias("_jr")] if join_on else [] ),
+    )
+    j = d.join(r, F.col("_j") == F.col("_jr")) if join_on else d.crossJoin(r)
+    j = j.where(F.col("dst_id") != F.col("neighbor_id"))
+    j = j.withColumn("dist", F.round(_dist(F.col("dx"), F.col("dy"), F.col("rx"), F.col("ry")), 4))
+    w = W.partitionBy("dst_id").orderBy("dist", "neighbor_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("dst_id", "neighbor_id", "dist", "rn")
+    )
+
+
+def pie_sector_col(dx_col, dy_col, n_pies: int):
+    """Sector index 0..n_pies-1 per the reference's quadrant logic."""
+    x = dx_col
+    y = dy_col
+    two_pi = 2.0 * math.pi
+    ang = F.atan(y / x)
+    ang = (
+        F.when(x == 0, F.lit(0.0))
+        .when(x < 0, ang + F.lit(math.pi))
+        .when((x > 0) & (y < 0), ang + F.lit(two_pi))
+        .otherwise(ang)
+    )
+    return F.floor(ang * n_pies / two_pi).cast("int")
+
+
+def pie_neighbors(
+    dst: DataFrame, refs: DataFrame, n_nebs: int, n_pies: int = 8,
+    join_on: str | None = "cluster_id",
+    id_cols: tuple[str, str] = ("conv_id", "conv_id"),
+) -> DataFrame:
+    """(dst_id, neighbor_id, sector, dist, pie_rank, rn<=n_nebs)."""
+    d = dst.select(
+        F.col(id_cols[0]).alias("dst_id"), F.col("x").alias("dx"),
+        F.col("y").alias("dy"),
+        *( [F.col(join_on).alias("_j")] if join_on else [] ),
+    )
+    r = refs.select(
+        F.col(id_cols[1]).alias("neighbor_id"), F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+        *( [F.col(join_on).alias("_jr")] if join_on else [] ),
+    )
+    j = d.join(r, F.col("_j") == F.col("_jr")) if join_on else d.crossJoin(r)
+    j = j.where(F.col("dst_id") != F.col("neighbor_id"))
+    xd = F.col("rx") - F.col("dx")
+    yd = F.col("ry") - F.col("dy")
+    j = j.select(
+        "dst_id", "neighbor_id",
+        F.round(_dist(F.col("dx"), F.col("dy"), F.col("rx"), F.col("ry")), 4).alias("dist"),
+        pie_sector_col(xd, yd, n_pies).alias("sector"),
+    )
+    w_sector = W.partitionBy("dst_id", "sector").orderBy("dist", "neighbor_id")
+    j = j.withColumn("pie_rank", F.row_number().over(w_sector) - 1)
+    w_all = W.partitionBy("dst_id").orderBy("pie_rank", "dist", "neighbor_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") <= n_nebs)
+        .select("dst_id", "neighbor_id", "sector", "dist", "pie_rank", "rn")
+    )

@@ -175,7 +175,7 @@ def fit_vg_model(
     var2 = 2.0 * max(float(np.var(gammas)), float(np.max(gammas)), 1e-6)
     min_lag, max_lag = float(lags.min()), float(lags.max())
 
-    best_str, best_aic = "nan", float("inf")
+    fits = []
     for mix in mixes:
         k = 2 * len(mix)
 
@@ -197,12 +197,26 @@ def fit_vg_model(
         x, cost = _de_minimize(obj, np.array(bounds), seed=seed)
         n = len(lags)
         aic = n * np.log(max(cost, 1e-300)) + 2 * k
-        if aic < best_aic:
-            parts = " + ".join(
-                f"{x[2*i]:.6f} {name}({x[2*i+1]:.6f})" for i, name in enumerate(mix)
-            )
-            best_str, best_aic = parts, float(aic)
-    return best_str, best_aic
+        parts = " + ".join(
+            f"{x[2*i]:.6f} {name}({x[2*i+1]:.6f})" for i, name in enumerate(mix)
+        )
+        fits.append((float(aic), parts))
+    fits.sort(key=lambda f: f[0])
+    if not fits:
+        return "nan", float("inf")
+    return fits[0][1], fits[0][0]
+
+
+def fit_vg_models_nbest(lags, gammas, n_pairs=None, n_best=3, **kw):
+    """T4: keep the n_best fits by ascending AIC
+    (reference variograms/vgs.py:809-818)."""
+    results = []
+    for mix in MODEL_MIXES:
+        s, a = fit_vg_model(lags, gammas, n_pairs, mixes=(mix,), **kw)
+        if s != "nan":
+            results.append((a, s))
+    results.sort(key=lambda f: f[0])
+    return results[:n_best]
 
 
 FIT_SCHEMA = "cluster_id int, vg_str string, aic double, n_bins int"
@@ -231,3 +245,97 @@ def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:
         )
 
     return evg.groupBy("cluster_id").applyInPandas(fit_group, schema=FIT_SCHEMA)
+
+
+# ------------------------------------------------------ K7: KS clustering
+
+def _ok_weight_sample(vg_str: str, seed: int, n_cfgs: int = 24, k: int = 6,
+                      horizon: float = 48 * 3600) -> np.ndarray:
+    """Sorted sample of OK weights under a model, over deterministic random
+    neighbor configurations (reference: random station configs from data,
+    vgclus/tvgs_clus.py:228-278). One target at 0, k refs at seeded offsets."""
+    from spinterps_spark.functions.vg_models import vg_vals
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n_cfgs):
+        offs = np.sort(rng.uniform(-horizon, horizon, k))
+        dmat = np.abs(offs[:, None] - offs[None, :])
+        a = np.zeros((k + 1, k + 1))
+        g = vg_vals(vg_str, dmat.ravel()).reshape(k, k)
+        np.fill_diagonal(g, 0.0)
+        a[:k, :k] = g
+        a[k, :k] = 1.0
+        a[:, k] = 1.0
+        rhs = np.zeros(k + 1)
+        rhs[:k] = vg_vals(vg_str, np.abs(offs))
+        rhs[k] = 1.0
+        lm = np.linalg.pinv(a) @ rhs
+        out.append(lm[:k])
+    return np.sort(np.concatenate(out))
+
+
+def ks_two_sample(a: np.ndarray, b: np.ndarray) -> float:
+    """Two-sample Kolmogorov-Smirnov statistic (numpy; scipy absent)."""
+    allv = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def ks_cluster_variograms(
+    vg_dim: "pd.DataFrame", alpha_c: float = 1.36, seed: int = 11,
+    n_cfgs: int = 24, k: int = 6,
+) -> "pd.DataFrame":
+    """K7 cluster reduction (reference vgclus/tvgs_clus.py:294-498):
+    greedily merge variogram clusters whose OK-weight ecdfs are KS-similar
+    (d_nm <= alpha_c*sqrt((n+m)/nm)); merged clusters refit on the mean of
+    their model curves (A13, vgclus/tvgs_clus.py:68-90). Driver-side loop —
+    cluster counts are tiny by construction.
+
+    vg_dim: pandas (cluster_id, vg_str). Returns (cluster_id, merged_id,
+    vg_str) with one representative model per merged group.
+    """
+    items = list(vg_dim[["cluster_id", "vg_str"]].itertuples(index=False))
+    samples = {
+        c: _ok_weight_sample(v, seed=seed + int(c), n_cfgs=n_cfgs, k=k)
+        for c, v in items if v != "nan"
+    }
+    merged: dict[int, list[int]] = {}
+    reps: dict[int, str] = {}
+    for c, v in items:
+        if v == "nan":
+            merged[c] = [c]
+            reps[c] = v
+            continue
+        placed = False
+        for m_id in list(reps):
+            if reps[m_id] == "nan":
+                continue
+            a, b = samples[c], _ok_weight_sample(
+                reps[m_id], seed=seed + 10_000 + m_id, n_cfgs=n_cfgs, k=k
+            )
+            d = ks_two_sample(a, b)
+            thr = alpha_c * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+            if d <= thr:
+                merged[m_id].append(c)
+                # refit on the mean of member curves (A13)
+                lags = np.linspace(60, 72 * 3600, 64)
+                from spinterps_spark.functions.vg_models import vg_vals
+
+                by_id = {i.cluster_id: i.vg_str for i in items}
+                curves = [vg_vals(by_id[m], lags) for m in merged[m_id]]
+                mean_curve = np.mean(np.stack(curves), axis=0)
+                new_vg, _aic = fit_vg_model(lags, mean_curve, seed=seed)
+                reps[m_id] = new_vg
+                placed = True
+                break
+        if not placed:
+            merged[c] = [c]
+            reps[c] = v
+
+    rows = []
+    for m_id, members in merged.items():
+        for c in members:
+            rows.append((c, m_id, reps[m_id]))
+    return pd.DataFrame(rows, columns=["cluster_id", "merged_id", "vg_str"])

@@ -679,6 +679,228 @@ QUALIFY rn <= 3
 """
 
 
+def q_pie_neighbors(spark, sf_dir) -> DataFrame:
+    """T2 pie-sector equidistant neighbor selection: round-robin across
+    angular sectors by (sector-rank, distance) — reference
+    cyth/interpmthds.pyx:811-890 + interp/grps.py:168-247."""
+    from spinterps_spark.operators.neighbors import pie_neighbors
+
+    c = fixtures.load_coords(_utc(spark), sf_dir).where(F.col("cluster_id") == 0)
+    return pie_neighbors(c, c, n_nebs=6, n_pies=8)
+
+
+SQL_PIE_NEIGHBORS = """
+WITH c AS (SELECT * FROM read_parquet('{cp}') WHERE cluster_id = 0),
+pairs AS (
+  SELECT a.conv_id AS dst_id, b.conv_id AS neighbor_id,
+         round(sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)), 4) AS dist,
+         b.x - a.x AS xd, b.y - a.y AS yd
+  FROM c a JOIN c b ON a.conv_id <> b.conv_id
+),
+sect AS (
+  SELECT dst_id, neighbor_id, dist,
+         CAST(floor(
+           (CASE
+              WHEN xd = 0 THEN 0.0
+              WHEN xd < 0 THEN atan(yd / xd) + pi()
+              WHEN xd > 0 AND yd < 0 THEN atan(yd / xd) + 2 * pi()
+              ELSE atan(yd / xd)
+            END) * 8 / (2 * pi())) AS INT) AS sector
+  FROM pairs
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           PARTITION BY dst_id, sector ORDER BY dist, neighbor_id) AS INT) - 1
+           AS pie_rank
+  FROM sect
+)
+SELECT dst_id, neighbor_id, sector, dist, pie_rank,
+       CAST(row_number() OVER (
+         PARTITION BY dst_id ORDER BY pie_rank, dist, neighbor_id) AS INT) AS rn
+FROM ranked
+QUALIFY rn <= 6
+"""
+
+
+def q_asof_nnb_infill(spark, sf_dir) -> DataFrame:
+    """J7 nearest-neighbor as-of infill: each missing (user, 1h bucket) takes
+    the value of the temporally nearest present bucket of the same user
+    (reference utils/lmt_and_infil_nc.py:505-557, ranked-join form)."""
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+         / F.count(F.lit(1))).alias("v")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket_ts").alias("_a"), F.max("bucket_ts").alias("_b")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("_a", "_b", F.expr("INTERVAL 1 HOUR"))).alias("bucket_ts"),
+    )
+    gaps = spine.join(hourly, ["user_id", "bucket_ts"], "left").where(
+        F.col("v").isNull()
+    ).select("user_id", F.col("bucket_ts"), F.unix_timestamp("bucket_ts").alias("gt"))
+    refs = hourly.select(
+        "user_id", F.unix_timestamp("bucket_ts").alias("rt"), "v"
+    )
+    j = gaps.join(refs, "user_id")
+    w = W.partitionBy("user_id", "gt").orderBy(
+        F.abs(F.col("gt") - F.col("rt")), F.col("rt")
+    )
+    out = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "bucket_ts", F.round("v", 6).alias("v_filled"),
+            F.abs(F.col("gt") - F.col("rt")).alias("dist_sec"),
+        )
+    )
+    return out
+
+
+SQL_ASOF_NNB = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket_ts), max(bucket_ts), INTERVAL 1 HOUR)) AS bucket_ts
+  FROM hourly GROUP BY user_id
+),
+gaps AS (
+  SELECT s.user_id, s.bucket_ts, CAST(epoch(s.bucket_ts) AS BIGINT) AS gt
+  FROM spine s LEFT JOIN hourly h USING (user_id, bucket_ts)
+  WHERE h.v IS NULL
+),
+j AS (
+  SELECT g.user_id, g.bucket_ts, g.gt, r.v,
+         CAST(epoch(r.bucket_ts) AS BIGINT) AS rt
+  FROM gaps g JOIN hourly r USING (user_id)
+)
+SELECT user_id, bucket_ts, round(v, 6) AS v_filled,
+       abs(gt - rt) AS dist_sec
+FROM j
+QUALIFY row_number() OVER (PARTITION BY user_id, gt ORDER BY abs(gt - rt), rt) = 1
+"""
+
+
+def q_evg_ntile_bins(spark, sf_dir) -> DataFrame:
+    """A4 equal-count empirical-variogram bins via ntile
+    (reference variograms/vgs.py:495-520: bins of nk pairs each)."""
+    c = fixtures.load_coords(_utc(spark), sf_dir).where(F.col("cluster_id") <= 1)
+    a, b = c.alias("a"), c.alias("b")
+    j = a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id")).where(
+        F.col("a.conv_id") < F.col("b.conv_id")
+    )
+    d = F.round(
+        F.sqrt((F.col("a.x") - F.col("b.x")) ** 2 + (F.col("a.y") - F.col("b.y")) ** 2),
+        6,
+    )
+    j = j.select(
+        F.col("a.cluster_id").alias("cluster_id"),
+        d.alias("d"),
+        F.col("a.conv_id").alias("ca"),
+        F.col("b.conv_id").alias("cb"),
+    )
+    w = W.partitionBy("cluster_id").orderBy("d", "ca", "cb")
+    j = j.withColumn("tile", F.ntile(10).over(w))
+    return j.groupBy("cluster_id", "tile").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)), 4,
+        ).alias("mean_dist"),
+    )
+
+
+SQL_EVG_NTILE = """
+WITH c AS (SELECT * FROM read_parquet('{cp}') WHERE cluster_id <= 1),
+pairs AS (
+  SELECT a.cluster_id,
+         round(sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)), 6) AS d,
+         a.conv_id AS ca, b.conv_id AS cb
+  FROM c a JOIN c b ON a.cluster_id = b.cluster_id AND a.conv_id < b.conv_id
+),
+tiled AS (
+  SELECT cluster_id, d,
+         ntile(10) OVER (PARTITION BY cluster_id ORDER BY d, ca, cb) AS tile
+  FROM pairs
+)
+SELECT cluster_id, tile, count(*) AS n_pairs,
+       round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist
+FROM tiled GROUP BY 1, 2
+"""
+
+
+def q_config_hash_groups(spark, sf_dir) -> DataFrame:
+    """A14 distinct station-config grouping: hash of the sorted active
+    conversation set per bucket groups buckets sharing a config
+    (reference interp/grps.py:57-101) — md5 for engine portability."""
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    per_bucket = h1.groupBy("bucket_ts").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_set("conv_id")))).alias(
+            "config_hash"
+        )
+    )
+    return per_bucket.groupBy("config_hash").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("bucket_ts").alias("first_bucket"),
+    )
+
+
+SQL_CONFIG_HASH = (
+    _SQL_H1
+    + """
+, per_bucket AS (
+  SELECT bucket_ts,
+         md5(array_to_string(list_sort(list(DISTINCT conv_id)), ',')) AS config_hash
+  FROM h1p GROUP BY bucket_ts
+)
+SELECT config_hash, count(*) AS n_buckets, min(bucket_ts) AS first_bucket
+FROM per_bucket GROUP BY 1
+"""
+)
+
+
+def q_ecdf_ranks(spark, sf_dir) -> DataFrame:
+    """Empirical CDF via ranks: rank/(n+1) per cluster over conversation
+    activity (reference scipy.rankdata/(n+1), vgclus/tvgs_clus.py:355-357)."""
+    t = _t(spark, sf_dir)
+    per_conv = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    c = fixtures.load_coords(_utc(spark), sf_dir).select("conv_id", "cluster_id")
+    j = per_conv.join(F.broadcast(c), "conv_id")
+    w = W.partitionBy("cluster_id").orderBy("n_turns", "conv_id")
+    n = W.partitionBy("cluster_id")
+    return j.select(
+        "conv_id", "cluster_id", "n_turns",
+        F.round(
+            F.row_number().over(w) / (F.count(F.lit(1)).over(n) + 1), 6
+        ).alias("ecdf"),
+    )
+
+
+SQL_ECDF = """
+WITH per_conv AS (
+  SELECT conv_id, count(*) AS n_turns
+  FROM read_parquet('{tp}') GROUP BY 1
+),
+j AS (
+  SELECT p.conv_id, c.cluster_id, p.n_turns
+  FROM per_conv p JOIN read_parquet('{cp}') c USING (conv_id)
+)
+SELECT conv_id, cluster_id, n_turns,
+       round(CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY n_turns, conv_id) AS DOUBLE)
+             / (count(*) OVER (PARTITION BY cluster_id) + 1), 6) AS ecdf
+FROM j
+"""
+
+
 # -------------------------------------------------- rows-only (non-SQL ops)
 
 def q_gapfill_idw_knn(spark, sf_dir) -> DataFrame:
@@ -721,6 +943,113 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+def _fitted_vg_setup(spark, sf_dir):
+    from spinterps_spark.operators import variogram as V
+
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    ser = h1.select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
+    )
+    coords = fixtures.load_coords(spark, sf_dir)
+    evg = V.empirical_variogram(ser, coords, "v", estimator="mean")
+    vg_dim = V.fit_cluster_variograms(evg)
+    sp = S.with_spine(h1, "1h").select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
+    )
+    return sp, coords, vg_dim
+
+
+def q_gapfill_ok_fitted(spark, sf_dir) -> DataFrame:
+    """K1+K6 end-to-end: empirical variogram -> per-cluster DE fit -> OK
+    gap-fill; rows-only (matrix solves are not SQL-expressible; pytest holds
+    the bit-exact oracle)."""
+    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    out = G.gapfill(sp, "v", method="OK", tier="1h", coords=coords, vg_dim=vg_dim)
+    return out.groupBy("fill_method").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("est_var"), 3).alias("avg_est_var"),
+    )
+
+
+def q_gapfill_edk(spark, sf_dir) -> DataFrame:
+    """K3: external-drift kriging (linear temporal drift); rows-only."""
+    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    out = G.gapfill(sp, "v", method="EDK", tier="1h", coords=coords, vg_dim=vg_dim)
+    return out.groupBy("fill_method").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_gapfill_ik(spark, sf_dir) -> DataFrame:
+    """K4: indicator kriging P(value <= lim); rows-only."""
+    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    out = G.gapfill(
+        sp, "v", method="IK", tier="1h", coords=coords, vg_dim=vg_dim, ik_lim=15.0
+    )
+    filled = out.where(F.col("fill_method") == "ok")
+    return filled.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum((F.col("value_filled") >= 0).cast("long")).alias("n_nonneg"),
+        F.sum((F.col("est_var") <= 0.25).cast("long")).alias("n_var_bounded"),
+    )
+
+
+def q_variogram_fit_dim(spark, sf_dir) -> DataFrame:
+    """K6 fit output dim (cluster_id, vg_str, aic, n_bins); rows-only —
+    the DE optimizer has no SQL equivalent."""
+    from spinterps_spark.operators import variogram as V
+
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    ser = h1.select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
+    )
+    coords = fixtures.load_coords(_utc(spark), sf_dir)
+    evg = V.empirical_variogram(ser, coords, "v", estimator="mean")
+    return V.fit_cluster_variograms(evg)
+
+
+def q_simhash_near_dups(spark, sf_dir) -> DataFrame:
+    """SimHash near-duplicate pairs via 4x15-bit block LSH; rows-only
+    (bit-level simhash has no portable SQL twin)."""
+    from spinterps_spark.operators import dedup as D
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    sig = D.simhash64(docs)
+    dups = D.simhash_near_dups(sig, max_hamming=6)
+    return dups.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.max("hamming"), F.lit(-1)).alias("max_hamming"),
+    )
+
+
+def q_lsh_cosine_topk(spark, sf_dir) -> DataFrame:
+    """SRP-LSH approximate ANN (scale path of cosine_topk); rows-only —
+    recall vs brute force is asserted in pytest."""
+    from spinterps_spark.operators import similarity as SIM
+
+    e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "q_id")
+    out = SIM.cosine_topk_lsh(e, q, k=5, n_tables=24, n_bits=4, dim=64)
+    return out.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.round(F.max("sim"), 4).alias("best_sim"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir) -> DataFrame:
+    """Multimodal plumbing: binary payload -> feature vectors via
+    mapInPandas (decode kernel stubbed deterministically); rows-only."""
+    from spinterps_spark.operators import multimodal as M
+
+    media = M.synth_media(_utc(spark), n=96)
+    feats = M.extract_features(media, dim=8)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -740,9 +1069,21 @@ QUERIES = {
     "minhash_bands": (q_minhash_bands, lambda: SQL_MINHASH_BANDS),
     "lsh_candidates": (q_lsh_candidates, lambda: SQL_LSH_CANDIDATES),
     "cosine_topk": (q_cosine_topk, lambda: SQL_COSINE_TOPK),
+    "pie_neighbors": (q_pie_neighbors, lambda: SQL_PIE_NEIGHBORS.format(cp=_cp())),
+    "asof_nnb_infill": (q_asof_nnb_infill, lambda: SQL_ASOF_NNB),
+    "evg_ntile_bins": (q_evg_ntile_bins, lambda: SQL_EVG_NTILE.format(cp=_cp())),
+    "config_hash_groups": (q_config_hash_groups, lambda: SQL_CONFIG_HASH.format(tp=_tp())),
+    "ecdf_ranks": (q_ecdf_ranks, lambda: SQL_ECDF.format(tp=_tp(), cp=_cp())),
     # rows-only (no SQL oracle possible: pandas-UDF ladders / binary codecs)
     "gapfill_idw_knn": (q_gapfill_idw_knn, None),
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
+    "gapfill_ok_fitted": (q_gapfill_ok_fitted, None),
+    "gapfill_edk": (q_gapfill_edk, None),
+    "gapfill_ik": (q_gapfill_ik, None),
+    "variogram_fit_dim": (q_variogram_fit_dim, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "lsh_cosine_topk": (q_lsh_cosine_topk, None),
+    "multimodal_features": (q_multimodal_features, None),
 }
 
 

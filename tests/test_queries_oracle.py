@@ -12,7 +12,8 @@ import pytest
 
 from spinterps_spark import queries as Q
 
-SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+# must match queries._oracle_sf() default (driver gate runs at sf0.01)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

@@ -115,3 +115,44 @@ def test_cluster_fit_end_to_end(spark, series, coords):
     filled = G.gapfill(sp, "v", method="OK", tier="1h", coords=coords, vg_dim=vg_dim)
     fp = filled.toPandas()
     assert (fp["fill_method"] == "ok").sum() > 0
+
+
+def test_nbest_fits():
+    from spinterps_spark.functions.vg_models import vg_vals
+
+    lags = np.linspace(600, 48 * 3600, 40)
+    gammas = vg_vals("3.0 Sph(43200.0)", lags)
+    best = V.fit_vg_models_nbest(lags, gammas, n_best=3, seed=5)
+    assert len(best) == 3
+    aics = [a for a, _ in best]
+    assert aics == sorted(aics)
+
+
+def test_ks_clustering_merges_identical_models():
+    import pandas as pd
+
+    dim = pd.DataFrame(
+        {
+            "cluster_id": [0, 1, 2],
+            "vg_str": [
+                "2.0 Sph(43200.0)",
+                "2.0 Sph(43200.0)",      # identical -> must merge with 0
+                "50.0 Gau(600.0)",        # very different weight structure
+            ],
+        }
+    )
+    out = V.ks_cluster_variograms(dim)
+    m = out.set_index("cluster_id")["merged_id"]
+    assert m[0] == m[1]
+    assert out["merged_id"].nunique() <= 3
+    # deterministic
+    out2 = V.ks_cluster_variograms(dim)
+    assert out.equals(out2)
+
+
+def test_ks_two_sample_statistic():
+    a = np.array([1.0, 2.0, 3.0])
+    b = np.array([1.0, 2.0, 3.0])
+    assert V.ks_two_sample(a, b) == 0.0
+    b = np.array([10.0, 11.0, 12.0])
+    assert V.ks_two_sample(a, b) == 1.0

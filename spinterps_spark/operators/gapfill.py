@@ -461,3 +461,153 @@ def _encode_filled(conv_arr, t_arr, v_arr, tier: str, span: int) -> pd.DataFrame
         np.asarray(cols["first_ts"], dtype="int64"), unit="s"))
     return out[["conv_id", "tier", "chunk_start_ts", "n",
                 "first_ts", "first_val", "ts_d2d", "vals_xor"]]
+
+
+def gapfill_virtual_chunks(
+    rollup_valid: DataFrame,
+    value_col: str,
+    method: str = "IDW",
+    vg_dim: DataFrame | None = None,
+    coords: DataFrame | None = None,
+    tier: str = "1h",
+    chunk_buckets: int = 3840,
+    gorilla_chunk: int = 120,
+    **knobs,
+) -> DataFrame:
+    """Fused gap-fill + Gorilla encode over a VIRTUAL spine.
+
+    The materialized spine inflates a sparse rollup ~30x with NULL gap rows
+    (97% of Arrow traffic at the 1m tier) before the kernel re-derives the
+    same information. Here the spine never exists: input is only the valid
+    rollup rows; gap grid points are generated inside the kernel from each
+    conversation's [first, last] bucket bounds (tier-aligned arithmetic).
+
+    Chunk membership is rank-based: ref i is exploded into every chunk in
+    [chunk(t_{i-k}) .. chunk(t_{i+k})] (k = n_neighbors, via lag/lead
+    windows), which guarantees every chunk in the conversation's span —
+    including chunks lying wholly inside a silence hole — receives at least
+    the k nearest refs on each side, so per-gap neighbor selection is
+    bit-identical to the global k-NN of the materialized path (proved by
+    tests/test_virtual_spine.py equality).
+
+    Output: Gorilla chunk structs (compress/gorilla.CHUNK_SCHEMA); windows
+    (gorilla_chunk buckets) nest in fill chunks (chunk_buckets % gorilla_chunk
+    == 0) and the grid is tier-aligned, so chunk boundaries match the
+    materialized fused path exactly.
+    """
+    params = {**DEFAULTS, **knobs}
+    if chunk_buckets % gorilla_chunk != 0:
+        raise ValueError("chunk_buckets must be a multiple of gorilla_chunk")
+    secs = TIER_SECONDS[tier]
+    span = chunk_buckets * secs
+    k = params["n_neighbors"]
+
+    from pyspark.sql import Window as W
+
+    from spinterps_spark.compress.gorilla import CHUNK_SCHEMA
+    from spinterps_spark.operators.grouped import apply_grouped_batches, group_bounds
+
+    df = rollup_valid.select(
+        "conv_id",
+        F.unix_timestamp("bucket_ts").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col(value_col).isNotNull())
+
+    kriging = method in ("OK", "SK", "EDK", "IK")
+    if kriging:
+        if coords is None or vg_dim is None:
+            raise ValueError(f"{method} needs coords and vg_dim")
+        dim = coords.select("conv_id", "cluster_id").join(
+            vg_dim.select("cluster_id", "vg_str"), "cluster_id", "left"
+        )
+        df = df.join(F.broadcast(dim.select("conv_id", "vg_str")), "conv_id", "left")
+    else:
+        df = df.withColumn("vg_str", F.lit(None).cast("string"))
+
+    w = W.partitionBy("conv_id").orderBy("_t")
+    bounds_w = W.partitionBy("conv_id")
+    df = df.select(
+        "*",
+        F.min("_t").over(bounds_w).alias("_first"),
+        F.max("_t").over(bounds_w).alias("_last"),
+        F.coalesce(F.lag("_t", k).over(w), F.min("_t").over(bounds_w)).alias("_tl"),
+        F.coalesce(F.lead("_t", k).over(w), F.max("_t").over(bounds_w)).alias("_tr"),
+    )
+    df = df.select(
+        "conv_id", "_t", "_v", "vg_str", "_first", "_last",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_tl") / span), F.floor(F.col("_tr") / span)
+            )
+        ).alias("_chunk"),
+    )
+
+    kw = dict(
+        method=method,
+        idw_exp=params["idw_exp"],
+        n_neighbors=params["n_neighbors"],
+        min_var_val_thresh=params["min_var_val_thresh"],
+        min_vg_val=params["min_vg_val"],
+        min_cut=params.get("min_cut"),
+        max_cut=params.get("max_cut"),
+        round_p=params.get("round_p"),
+        ik_lim=params.get("ik_lim", 1.0),
+    )
+
+    def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts = group_bounds(pdf, ["conv_id", "_chunk"])
+        ends = np.append(starts[1:], len(pdf))
+        t_all = pdf["_t"].to_numpy(np.int64)
+        v_all = pdf["_v"].to_numpy(np.float64)
+        ck_all = pdf["_chunk"].to_numpy(np.int64)
+        first_all = pdf["_first"].to_numpy(np.int64)
+        last_all = pdf["_last"].to_numpy(np.int64)
+        conv_all = pdf["conv_id"].to_numpy()
+        vg_all = pdf["vg_str"].to_numpy() if kriging else None
+        out_conv, out_t, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            c = ck_all[s]
+            lo = max(first_all[s], c * span)
+            hi = min(last_all[s], (c + 1) * span - secs)
+            # align the grid to the conversation's own bucket phase
+            # (bucket epochs are global multiples of secs, so ceil/floor):
+            g0 = -(-lo // secs) * secs
+            g1 = (hi // secs) * secs
+            if g1 < g0:
+                continue
+            grid = np.arange(g0, g1 + 1, secs, dtype=np.int64)
+            refs_t = t_all[s:e]
+            refs_v = v_all[s:e]
+            # context refs outside the chunk window participate as refs
+            inside = (refs_t >= g0) & (refs_t <= g1)
+            t_ser = np.concatenate([refs_t[~inside], grid])
+            v_ser = np.concatenate(
+                [refs_v[~inside], np.full(len(grid), np.nan)]
+            )
+            pos = np.searchsorted(grid, refs_t[inside])
+            v_ser[len(refs_t[~inside]) + pos] = refs_v[inside]
+            order = np.argsort(t_ser, kind="stable")
+            t_ser, v_ser = t_ser[order], v_ser[order]
+            vg = None
+            if kriging:
+                nn = pd.notna(vg_all[s:e])
+                vg = vg_all[s:e][nn][0] if nn.any() else "nan"
+            filled, _ev, _cd = fill_series(t_ser, v_ser, vg_str=vg, **kw)
+            keep = (t_ser >= g0) & (t_ser <= g1)
+            out_conv.append(np.repeat(conv_all[s], keep.sum()))
+            out_t.append(t_ser[keep])
+            out_v.append(filled[keep])
+        if not out_conv:
+            return _encode_filled(np.array([], dtype=object),
+                                  np.array([], dtype=np.int64),
+                                  np.array([], dtype=np.float64),
+                                  tier, gorilla_chunk * secs)
+        return _encode_filled(
+            np.concatenate(out_conv),
+            np.concatenate(out_t),
+            np.concatenate(out_v),
+            tier,
+            gorilla_chunk * secs,
+        )
+
+    return apply_grouped_batches(df, ["conv_id", "_chunk"], "_t", fill_batch, CHUNK_SCHEMA)

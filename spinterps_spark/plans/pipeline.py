@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from spinterps_spark import TIERS
 from spinterps_spark.compress.gorilla import encode_tier_chunks
-from spinterps_spark.operators.gapfill import gapfill
+from spinterps_spark.operators.gapfill import gapfill, gapfill_virtual_chunks
 from spinterps_spark.operators.rollup import base_rollup, rollup_tier
 from spinterps_spark.operators.spine import with_spine
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
@@ -80,27 +80,36 @@ def run_retention_pipeline(
             ckpt, run_id, f"rollup:{tier}", n_waves=n_waves,
         )
 
-        spined = with_spine(rolled, tier)
-        ser = spined.select(
-            "conv_id", "bucket_ts",
-            (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
-        )
-
         if fuse_fill_and_chunks and gorilla:
-            # one grouped pass: fill + Gorilla encode (no second shuffle of
-            # the filled series; the chunk table IS the tier storage)
+            # one grouped pass over the VIRTUAL spine: gap grid points are
+            # generated inside the kernel from conversation bounds, so the
+            # ~30x NULL-row spine inflation never hits the shuffle or the
+            # Arrow boundary; output is the Gorilla chunk table directly.
+            valid_ser = rolled.where(F.col("valid")).select(
+                "conv_id", "bucket_ts",
+                (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
+            )
+
             def fill_chunk(sub, _tier=tier):
-                return gapfill(
+                return gapfill_virtual_chunks(
                     sub, fill_metric, method=fill_method, tier=_tier,
-                    coords=coords, vg_dim=vg_dim, emit="chunks", **fill_knobs,
+                    coords=coords, vg_dim=vg_dim,
+                    chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
+                    **{k: v for k, v in fill_knobs.items() if k not in
+                       ("chunk_buckets", "pad_buckets")},
                 )
 
             run_waved_pass(
-                spark, ser, fill_chunk,
+                spark, valid_ser, fill_chunk,
                 os.path.join(out_dir, f"chunks/tier={tier}"),
                 ckpt, run_id, f"chunks:{tier}", n_waves=n_waves,
             )
         else:
+            spined = with_spine(rolled, tier)
+            ser = spined.select(
+                "conv_id", "bucket_ts",
+                (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
+            )
             def fill(sub, _tier=tier):
                 return gapfill(
                     sub, fill_metric, method=fill_method, tier=_tier,

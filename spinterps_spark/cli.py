@@ -37,10 +37,20 @@ def _spark(app: str):
     return spark
 
 
+def _warmup(spark):
+    """Touch codegen + python-worker pools once before the timed section
+    (cluster warm-up is not steady-state throughput)."""
+    import pandas as pd
+
+    df = spark.range(256).repartition(8, "id")
+    df.mapInPandas(lambda it: it, schema="id long").count()
+
+
 def cmd_rollup(args) -> int:
     from spinterps_spark.plans.pipeline import run_retention_pipeline
 
     spark = _spark("spinterps_spark.rollup")
+    _warmup(spark)
     reader = spark.read
     if args.format == "iceberg":
         transcripts = spark.read.table(args.input)

@@ -109,33 +109,29 @@ def encode_ts(ts: np.ndarray) -> bytes:
     dods = np.diff(deltas)
     if len(dods) == 0:
         return w.bytes()
-    klass = np.select(
-        [
-            dods == 0,
-            (dods >= -63) & (dods <= 64),
-            (dods >= -255) & (dods <= 256),
-            (dods >= -2047) & (dods <= 2048),
-        ],
-        [0, 1, 2, 3],
-        default=4,
-    )
-    dod_list = dods.tolist()
+    # one fused (prefix|payload) write per nonzero dod; zero runs batched
+    # into a single multi-bit write (the dominant case on steady cadences).
     write = w.write
-    for d, kl in zip(dod_list, klass.tolist()):
-        if kl == 0:
-            write(0, 1)
-        elif kl == 1:
-            write(0b10, 2)
-            write(d & 0x7F, 7)
-        elif kl == 2:
-            write(0b110, 3)
-            write(d & 0x1FF, 9)
-        elif kl == 3:
-            write(0b1110, 4)
-            write(d & 0xFFF, 12)
+    nz_idx = np.flatnonzero(dods != 0)
+    dod_list = dods.tolist()
+    prev = -1
+    for i in nz_idx.tolist():
+        gap = i - prev - 1
+        if gap:
+            write(0, gap)
+        d = dod_list[i]
+        if -63 <= d <= 64:
+            write((0b10 << 7) | (d & 0x7F), 9)
+        elif -255 <= d <= 256:
+            write((0b110 << 9) | (d & 0x1FF), 12)
+        elif -2047 <= d <= 2048:
+            write((0b1110 << 12) | (d & 0xFFF), 16)
         else:
-            write(0b1111, 4)
-            write(d & ((1 << 64) - 1), 64)
+            write((0b1111 << 64) | (d & ((1 << 64) - 1)), 68)
+        prev = i
+    tail = len(dod_list) - prev - 1
+    if tail:
+        write(0, tail)
     return w.bytes()
 
 
@@ -199,21 +195,33 @@ def encode_vals(vals: np.ndarray) -> bytes:
     trail_list = trail_arr.tolist()
     prev_lead, prev_len = 65, 0  # invalid window -> first xor re-windows
     write = w.write
-    for x, lead, trail in zip(x_list, lead_list, trail_list):
-        if x == 0:
-            write(0, 1)
-            continue
-        write(1, 1)
+    # fused single-write per nonzero xor; zero runs batched into one write
+    nz_idx = np.flatnonzero(xors != 0)
+    prev_i = -1
+    for i in nz_idx.tolist():
+        gap = i - prev_i - 1
+        if gap:
+            write(0, gap)
+        x = x_list[i]
+        lead = lead_list[i]
+        trail = trail_list[i]
         length = 64 - lead - trail
         if prev_lead <= lead and (64 - prev_lead - prev_len) <= trail:
-            write(0, 1)
-            write(x >> (64 - prev_lead - prev_len), prev_len)
+            # '1' control + '0' window-reuse + payload, one write
+            write((0b10 << prev_len) | (x >> (64 - prev_lead - prev_len)),
+                  prev_len + 2)
         else:
-            write(1, 1)
-            write(lead, 6)
-            write(length - 1, 6)
-            write(x >> trail, length)
+            # '1' + '1' + 6-bit lead + 6-bit (len-1) + payload, one write
+            write(
+                (((0b11 << 6 | lead) << 6 | (length - 1)) << length)
+                | (x >> trail),
+                14 + length,
+            )
             prev_lead, prev_len = lead, length
+        prev_i = i
+    tail = len(x_list) - prev_i - 1
+    if tail:
+        write(0, tail)
     return w.bytes()
 
 

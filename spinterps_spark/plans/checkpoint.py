@@ -136,6 +136,8 @@ def run_waved_pass(
     the cost of one extra evaluation of the wave's input; default keeps
     lineage cheap (rows_in=-1) since rows_out+checksum already pin the
     output content."""
+    from pyspark.sql import Observation
+
     done = ckpt.done_waves(run_id, tier)
     src = source.withColumn("_wave", wave_col(n_waves))
     for w in range(n_waves):
@@ -144,16 +146,28 @@ def run_waved_pass(
         t0 = time.time()
         sub = src.where(F.col("_wave") == w).drop("_wave")
         out = transform(sub)
+        # lineage metrics ride the write job itself (Observation API) —
+        # no second scan of the written output per wave.
+        cols = checksum_cols or list(out.columns)
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        obs = Observation(f"{tier}-w{w}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.pmod(
+                F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)),
+                F.lit(2**62),
+            ).cast("long").alias("checksum"),
+        )
         path = os.path.join(out_dir, f"wave={w}")
         out.write.mode("overwrite").parquet(path)
-        written = spark.read.parquet(path)
-        cols = checksum_cols or [c for c in written.columns]
-        stats = checksum_agg(written, cols).first()
+        stats = obs.get
         ckpt.append(
             dict(
                 run_id=run_id, tier=tier, wave=w, status="done",
-                rows_in=sub.count() if count_input else -1, rows_out=stats.cnt,
-                checksum=stats.checksum if stats.checksum is not None else 0,
+                rows_in=sub.count() if count_input else -1,
+                rows_out=stats["cnt"],
+                checksum=stats["checksum"] if stats["checksum"] is not None else 0,
                 wall_sec=time.time() - t0,
             )
         )

@@ -120,7 +120,8 @@ def main(argv=None) -> int:
     r.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     r.add_argument("--out", required=True)
     r.add_argument("--tiers", default="1m,1h,1d")
-    r.add_argument("--fill", default="IDW", choices=["IDW", "OK", "NNB"])
+    r.add_argument("--fill", default="IDW",
+                   choices=["IDW", "OK", "SK", "EDK", "IK", "NNB"])
     r.add_argument("--coords", default=None)
     r.add_argument("--vg-dim", dest="vg_dim", default=None)
     r.add_argument("--salt", type=int, default=16)

@@ -1050,6 +1050,68 @@ def q_multimodal_features(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact n-gram Jaccard over distinct 3-token shingles for consecutive
+    doc-id pairs (candidate-verification stage of near-dup dedup)."""
+    from spinterps_spark.operators import dedup as D
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").alias("doc_a"))
+    pairs = ids.select("doc_a", (F.col("doc_a") + 1).alias("doc_b")).join(
+        docs.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+    )
+    out = D.ngram_jaccard(docs, pairs)
+    return out.select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, DISTINCT_S.shingle
+  FROM t, (SELECT unnest(list_distinct(
+             [array_to_string(toks[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
+          ) AS DISTINCT_S
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       za.n_sh AS n_a, zb.n_sh AS n_b,
+       round(coalesce(i.n_inter, 0) /
+             CAST(za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only:
+    exact-threshold behavior asserted in pytest)."""
+    from spinterps_spark.operators import similarity as SIM
+
+    e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.embedding_near_dups(e, sim_threshold=0.5, n_tables=6, n_bits=6, dim=64)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.coalesce(F.max("sim"), F.lit(-1.0)), 4).alias("max_sim"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1084,6 +1146,8 @@ QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, None),
     "lsh_cosine_topk": (q_lsh_cosine_topk, None),
     "multimodal_features": (q_multimodal_features, None),
+    "ngram_jaccard": (q_ngram_jaccard, lambda: SQL_NGRAM_JACCARD),
+    "embedding_near_dups": (q_embedding_near_dups, None),
 }
 
 

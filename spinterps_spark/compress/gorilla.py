@@ -11,10 +11,13 @@ graft stores rolled-up points as fixed-size Gorilla chunk structs per
 
 Timestamp stream: first_ts raw; first delta 64-bit raw; then delta-of-delta D:
     D == 0              -> '0'
-    D in [-63, 64]      -> '10'  + 7-bit two's complement
-    D in [-255, 256]    -> '110' + 9-bit
-    D in [-2047, 2048]  -> '1110'+ 12-bit
+    D in [-64, 63]      -> '10'  + 7-bit two's complement
+    D in [-256, 255]    -> '110' + 9-bit
+    D in [-2048, 2047]  -> '1110'+ 12-bit
     else                -> '1111'+ 64-bit raw
+(Ranges are symmetric with the two's-complement payload — NOT the paper's
+offset-coded [-63,64] windows — so encode/decode are exact inverses for any
+int64 input, including the boundary values 64/256/2048.)
 (64-bit escape instead of the paper's 32 — retention-tier gaps can exceed 2^31 s.)
 
 Value stream: first_val raw 64-bit IEEE754; then XOR with previous value:
@@ -91,9 +94,6 @@ def _untwos(raw: int, bits: int) -> int:
     return raw
 
 
-_DOD_PLAN = ((-63, 64, 0b10, 2, 7), (-255, 256, 0b110, 3, 9), (-2047, 2048, 0b1110, 4, 12))
-
-
 def encode_ts(ts: np.ndarray) -> bytes:
     """ts: int64 seconds, ascending. Stream excludes ts[0] (stored raw in the
     struct); includes the first delta as a raw 64-bit field.
@@ -120,11 +120,11 @@ def encode_ts(ts: np.ndarray) -> bytes:
         if gap:
             write(0, gap)
         d = dod_list[i]
-        if -63 <= d <= 64:
+        if -64 <= d <= 63:
             write((0b10 << 7) | (d & 0x7F), 9)
-        elif -255 <= d <= 256:
+        elif -256 <= d <= 255:
             write((0b110 << 9) | (d & 0x1FF), 12)
-        elif -2047 <= d <= 2048:
+        elif -2048 <= d <= 2047:
             write((0b1110 << 12) | (d & 0xFFF), 16)
         else:
             write((0b1111 << 64) | (d & ((1 << 64) - 1)), 68)

@@ -4,10 +4,10 @@
 - minhash_lsh: shingle -> per-band minhash -> bucket join candidates ->
   optional exact n-gram Jaccard verification. All hashing is md5-string
   based so results are engine-portable (same trick as queries.py oracles).
-- simhash64: 64-bit SimHash from md5 bits of tokens, JVM-side bit ops;
-  near-dup = hamming distance <= threshold within LSH blocks (4x16-bit
-  block index: two near-dup hashes share at least one exact block when
-  hamming <= 3 — pigeonhole over 4 blocks).
+- simhash64: 60-bit SimHash from md5 bits of tokens, JVM-side bit ops;
+  near-dup = hamming distance <= threshold within LSH blocks
+  (max_hamming+1 blocks: pigeonhole guarantees two signatures within the
+  threshold share at least one exact block, for ANY threshold).
 - ngram_jaccard: exact Jaccard over distinct 3-token shingles for candidate
   pairs (explode + join + distinct counting; no UDF).
 
@@ -28,11 +28,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles_col(text_col: str, n: int = 3):
+    """n-token shingles; empty array for docs shorter than n tokens.
+    (sequence(1, 0) in Spark is the DESCENDING [1, 0] and slice(toks, 0, n)
+    throws INVALID_PARAMETER_VALUE.START — guard with when().)"""
     toks = F.split(F.col(text_col), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -73,7 +79,12 @@ def ngram_jaccard(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(text_col, shingle_n))).alias("s"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes straight from the array (no explode) so short docs keep n_sh=0
+    # instead of silently vanishing from the inner join below
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(shingles_col(text_col, shingle_n))).cast("long").alias("n_sh"),
+    )
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "s_b")
     inter = (
@@ -89,11 +100,11 @@ def ngram_jaccard(
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
     )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return out.select(
         "doc_a", "doc_b", "n_inter", "n_a", "n_b",
-        F.round(
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-        ).alias("jaccard"),
+        # both-empty shingle sets -> NULL (0/0 is an ANSI-mode error)
+        F.when(union > 0, F.round(F.col("n_inter") / union, 6)).alias("jaccard"),
     )
 
 
@@ -122,13 +133,28 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_blocks(n_bits: int = 60, max_hamming: int = 3) -> list[tuple[int, int]]:
+    """(offset, width) block plan: max_hamming+1 blocks over n_bits, widths
+    as even as possible. Pigeonhole: two signatures with hamming <= max_hamming
+    differ in at most max_hamming blocks, so they share >= 1 exact block."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(n_bits, n_blocks)
+    plan, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        plan.append((off, w))
+        off += w
+    return plan
+
+
 def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block the 60-bit signature into 4x15-bit
-    keys (pigeonhole: hamming <= 3 => >= 1 identical block), bucket-join,
-    verify exact hamming distance JVM-side."""
+    """Near-dup pairs by SimHash: block the 60-bit signature into
+    max_hamming+1 keys (pigeonhole guarantees a shared exact block at
+    hamming <= max_hamming — r1 used a fixed 4 blocks, silently losing
+    recall for thresholds > 3), bucket-join, verify exact hamming JVM-side."""
     blocks = []
-    for blk in range(4):
-        key = F.shiftright(F.col("simhash"), blk * 15).bitwiseAND(F.lit((1 << 15) - 1))
+    for blk, (off, width) in enumerate(simhash_blocks(60, max_hamming)):
+        key = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
         blocks.append(sim.select("doc_id", "simhash", F.lit(blk).alias("blk"), key.alias("key")))
     sigb = blocks[0]
     for x in blocks[1:]:

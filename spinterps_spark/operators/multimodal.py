@@ -30,8 +30,10 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes long, digest string"
 
 
-def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table (binary payload = seeded bytes)."""
+def media_rows(n: int = 64, seed: int = 5) -> list[tuple]:
+    """Deterministic fake media rows (shared by synth_media and the fixture
+    parquet writer so the Spark query and the DuckDB oracle see identical
+    bytes)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -39,8 +41,14 @@ def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
         kind = kinds[i % 3]
         payload = rng.bytes(128 + (i * 37) % 512)
         rows.append(
-            (i, kind, bytearray(payload), (64 + i % 32, 48, 1 + i % 8, 16000))
+            (i, kind, payload, (64 + i % 32, 48, 1 + i % 8, 16000))
         )
+    return rows
+
+
+def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table (binary payload = seeded bytes)."""
+    rows = [(i, k, bytearray(p), m) for i, k, p, m in media_rows(n, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

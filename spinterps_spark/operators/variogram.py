@@ -2,12 +2,16 @@
 cluster (SURVEY.md §3.2/§3.3 graft).
 
 - Empirical variogram over *temporal* lags: within each conversation, all
-  bucket pairs (i<j) with |dt| <= max_lag contribute 0.5*(zi-zj)^2 at lag
+  bucket pairs (i<j) with |dt| <= max_lag contribute (zi-zj)^2 at lag
   |dt| (reference pair join J9 variograms/vgs.py:369-391). Pairs pool per
   cluster, then constant-width lag bins (A5, variograms/vgs.py:444-493):
   per bin mean lag + estimator over squared diffs. The reference's
-  'classic' estimator is a *median* (variograms/vgs.py:399-412 — preserved
-  non-standard semantics, SURVEY.md §7.3.3); 'mean' is also offered.
+  'classic' estimator is the *median of the RAW squared diffs* — no 1/2
+  factor (variograms/vgs.py:399-412, non-standard semantics preserved,
+  SURVEY.md §7.3.3); 'mean' is the commented sum/(2n) form, i.e. the 1/2
+  applies to the mean estimator only (ADVICE r1 scale fix).
+  P10 drop_zeros: optionally drop zero-squared-diff pairs before binning
+  (reference variograms/fitvgs.py:164-177 drop_zeros_flag).
 - Post-processing windows (A10-A12, vgclus/evg_clus.py:180-212):
   rolling-mean smoothing, monotone (running-max) envelope, normalization.
 - Model fit (K6, variograms/vgs.py:661-848): bounded differential evolution
@@ -40,9 +44,14 @@ def empirical_variogram(
     max_lag: float = 48 * 3600,
     lag_width: float = 3600.0,
     estimator: str = "classic",
+    drop_zeros: bool = False,
 ) -> DataFrame:
     """(conv_id, bucket_ts, value) + (conv_id, cluster_id) ->
     (cluster_id, bin, lag, gamma, n_pairs).
+
+    estimator='classic': median of raw squared diffs (reference vgs.py:410).
+    estimator='mean': 0.5 * mean of squared diffs (the sum/(2n) form).
+    drop_zeros (P10): drop pairs with zero squared diff before binning.
 
     Scale note: the self-join is per conversation and lag-bounded, so pair
     count is O(rows * buckets_per_horizon), not O(rows^2); the join key is
@@ -66,14 +75,16 @@ def empirical_variogram(
         .select(
             F.col("a.cluster_id").alias("cluster_id"),
             (F.col("b.t") - F.col("a.t")).cast("double").alias("h"),
-            (0.5 * (F.col("a.z") - F.col("b.z")) ** 2).alias("sq"),
+            ((F.col("a.z") - F.col("b.z")) ** 2).alias("sq"),
         )
     )
+    if drop_zeros:
+        pairs = pairs.where(F.col("sq") != 0.0)
     binned = pairs.groupBy(
         "cluster_id", F.floor(F.col("h") / lag_width).alias("bin")
     )
     if estimator == "classic":
-        # reference 'classic' = median of squared diffs (vgs.py:410)
+        # reference 'classic' = median of RAW squared diffs (vgs.py:410)
         agg = binned.agg(
             F.count(F.lit(1)).alias("n_pairs"),
             (F.sum(F.col("h").cast("decimal(38,6)")).cast("double")
@@ -81,11 +92,12 @@ def empirical_variogram(
             F.median("sq").alias("gamma"),
         )
     elif estimator == "mean":
+        # the commented sum/(2n) form: 0.5 applies to the mean only
         agg = binned.agg(
             F.count(F.lit(1)).alias("n_pairs"),
             (F.sum(F.col("h").cast("decimal(38,6)")).cast("double")
              / F.count(F.lit(1))).alias("lag"),
-            (F.sum(F.col("sq").cast("decimal(38,10)")).cast("double")
+            (F.lit(0.5) * F.sum(F.col("sq").cast("decimal(38,10)")).cast("double")
              / F.count(F.lit(1))).alias("gamma"),
         )
     else:

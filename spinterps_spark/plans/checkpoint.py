@@ -29,8 +29,8 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 CKPT_SCHEMA = (
-    "run_id string, tier string, wave int, status string, rows_in long, "
-    "rows_out long, checksum long, wall_sec double, ts timestamp"
+    "run_id string, tier string, wave int, n_waves int, status string, "
+    "rows_in long, rows_out long, checksum long, wall_sec double, ts timestamp"
 )
 
 
@@ -52,21 +52,33 @@ class CheckpointLog:
         except Exception:
             return self.spark.createDataFrame([], CKPT_SCHEMA)
 
-    def _load_done(self) -> set[tuple[str, str, int]]:
+    def _load_done(self) -> set[tuple[str, str, int, int | None]]:
         if self._done is None:
             rows = (
                 self.read()
                 .where(F.col("status") == "done")
-                .select("run_id", "tier", "wave")
+                .select("run_id", "tier", "wave", "n_waves")
                 .collect()
             )
-            self._done = {(r.run_id, r.tier, r.wave) for r in rows}
+            self._done = {(r.run_id, r.tier, r.wave, r.n_waves) for r in rows}
         return self._done
 
-    def done_waves(self, run_id: str, tier: str) -> set[int]:
-        return {
-            w for (r, t, w) in self._load_done() if r == run_id and t == tier
-        }
+    def done_waves(self, run_id: str, tier: str, n_waves: int | None = None) -> set[int]:
+        """Done wave indices for (run_id, tier). If n_waves is given, refuse
+        to resume against lineage recorded under a DIFFERENT wave count —
+        conversations would silently re-shard across wave indices (ADVICE r1)."""
+        hits = [(w, nw) for (r, t, w, nw) in self._load_done()
+                if r == run_id and t == tier]
+        if n_waves is not None:
+            bad = {nw for _w, nw in hits if nw is not None and nw != n_waves}
+            if bad:
+                raise ValueError(
+                    f"checkpoint for run_id={run_id} tier={tier} was written "
+                    f"with n_waves={sorted(bad)}; resuming with n_waves="
+                    f"{n_waves} would reassign conversations across waves. "
+                    f"Use the recorded n_waves or a fresh run_id."
+                )
+        return {w for w, _nw in hits}
 
     def append(self, row: dict):
         import pyarrow as pa
@@ -79,6 +91,7 @@ class CheckpointLog:
                 "run_id": [row["run_id"]],
                 "tier": [row["tier"]],
                 "wave": pa.array([row["wave"]], pa.int32()),
+                "n_waves": pa.array([row.get("n_waves")], pa.int32()),
                 "status": [row["status"]],
                 "rows_in": pa.array([row["rows_in"]], pa.int64()),
                 "rows_out": pa.array([row["rows_out"]], pa.int64()),
@@ -94,7 +107,9 @@ class CheckpointLog:
         pq.write_table(table, path + ".tmp")
         os.replace(path + ".tmp", path)
         if self._done is not None and row["status"] == "done":
-            self._done.add((row["run_id"], row["tier"], row["wave"]))
+            self._done.add(
+                (row["run_id"], row["tier"], row["wave"], row.get("n_waves"))
+            )
 
 
 def wave_col(n_waves: int):
@@ -126,23 +141,82 @@ def run_waved_pass(
     n_waves: int = 4,
     checksum_cols: list[str] | None = None,
     count_input: bool = False,
+    one_pass: bool = True,
 ) -> DataFrame:
-    """Execute `transform(source_subset)` per conversation-hash wave,
-    writing each wave's output to out_dir/wave=K and checkpointing it.
-    Already-done waves (same run_id+tier) are skipped on resume.
-    Returns the unioned output DataFrame (read back from disk).
+    """Execute `transform` over conversation-hash waves, writing wave K's
+    output to out_dir/wave=K and appending one lineage row per wave.
+    Already-done waves (same run_id+tier, recorded n_waves validated) are
+    skipped on resume. Returns the unioned output DataFrame (read from disk).
 
-    count_input=True records exact rows_in per wave in the lineage row at
-    the cost of one extra evaluation of the wave's input; default keeps
-    lineage cheap (rows_in=-1) since rows_out+checksum already pin the
-    output content."""
+    one_pass=True (default): ONE source scan — all pending waves run as a
+    single job whose output is written partitionBy(wave) with dynamic
+    partition overwrite (done-wave directories untouched). Per-wave lineage
+    metrics come from a columnar re-read of the written files, which is far
+    cheaper than the r1 design's per-wave recomputation of the upstream
+    DataFrame (n_waves input scans). Requires `transform` to be
+    conversation-local (true for every tier pass: rollups/gap-fill group by
+    conv_id), since transform(union of waves) must equal union of per-wave
+    transforms. Crash mid-job -> no lineage rows -> all pending waves redo.
+
+    one_pass=False: the r1 per-wave loop (n_waves source scans) for when
+    per-wave blast-radius isolation matters more than throughput.
+
+    count_input=True records exact rows_in per wave at the cost of one
+    extra aggregation over the source; default keeps lineage cheap
+    (rows_in=-1) since rows_out+checksum already pin the output content."""
     from pyspark.sql import Observation
 
-    done = ckpt.done_waves(run_id, tier)
+    done = ckpt.done_waves(run_id, tier, n_waves=n_waves)
+    pending = [w for w in range(n_waves) if w not in done]
     src = source.withColumn("_wave", wave_col(n_waves))
-    for w in range(n_waves):
-        if w in done:
-            continue
+    if not pending:
+        return spark.read.parquet(os.path.join(out_dir, "wave=*"))
+
+    if one_pass:
+        t0 = time.time()
+        sub = src.where(F.col("_wave").isin(pending)).drop("_wave")
+        out = transform(sub).withColumn("wave", wave_col(n_waves))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wave")
+            .parquet(out_dir)
+        )
+        wall = time.time() - t0
+        outdf = spark.read.parquet(out_dir).where(F.col("wave").isin(pending))
+        cols = checksum_cols or [c for c in outdf.columns if c != "wave"]
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        stats = {
+            r["wave"]: (r["cnt"], r["checksum"])
+            for r in outdf.groupBy("wave").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.pmod(
+                    F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)),
+                    F.lit(2**62),
+                ).cast("long").alias("checksum"),
+            ).collect()
+        }
+        rows_in = {}
+        if count_input:
+            rows_in = {
+                r["_wave"]: r["count"]
+                for r in src.where(F.col("_wave").isin(pending))
+                .groupBy("_wave").count().collect()
+            }
+        for w in pending:
+            cnt, chk = stats.get(w, (0, 0))
+            ckpt.append(
+                dict(
+                    run_id=run_id, tier=tier, wave=w, n_waves=n_waves,
+                    status="done",
+                    rows_in=rows_in.get(w, -1) if count_input else -1,
+                    rows_out=cnt, checksum=chk if chk is not None else 0,
+                    wall_sec=wall,  # shared job: wall of the whole pass
+                )
+            )
+        return spark.read.parquet(os.path.join(out_dir, "wave=*"))
+
+    for w in pending:
         t0 = time.time()
         sub = src.where(F.col("_wave") == w).drop("_wave")
         out = transform(sub)
@@ -164,7 +238,8 @@ def run_waved_pass(
         stats = obs.get
         ckpt.append(
             dict(
-                run_id=run_id, tier=tier, wave=w, status="done",
+                run_id=run_id, tier=tier, wave=w, n_waves=n_waves,
+                status="done",
                 rows_in=sub.count() if count_input else -1,
                 rows_out=stats["cnt"],
                 checksum=stats["checksum"] if stats["checksum"] is not None else 0,

@@ -60,11 +60,11 @@ SQL_ROLLUP_1M = f"""
 SELECT conv_id,
        date_trunc('minute', ts) AS bucket_ts,
        count(*) AS turn_cnt,
-       sum(len(string_split(text, ' '))) AS tok_len_sum,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS tool_call_cnt,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS role_user_cnt,
-       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS role_assistant_cnt,
-       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS role_tool_cnt,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_len_sum,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_call_cnt,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS role_user_cnt,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS role_assistant_cnt,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS role_tool_cnt,
        count(*) >= 1 AS valid
 FROM read_parquet('{{tp}}')
 GROUP BY 1, 2
@@ -191,9 +191,9 @@ SQL_SPINE_GAPS = (
     _SQL_H1
     + """
 SELECT conv_id,
-       (CAST(epoch(max(bucket_ts)) AS BIGINT) - CAST(epoch(min(bucket_ts)) AS BIGINT)) / 3600 + 1 AS n_buckets,
+       (CAST(epoch(max(bucket_ts)) AS BIGINT) - CAST(epoch(min(bucket_ts)) AS BIGINT)) // 3600 + 1 AS n_buckets,
        count(*) AS n_present,
-       (CAST(epoch(max(bucket_ts)) AS BIGINT) - CAST(epoch(min(bucket_ts)) AS BIGINT)) / 3600 + 1 - count(*) AS n_gaps
+       (CAST(epoch(max(bucket_ts)) AS BIGINT) - CAST(epoch(min(bucket_ts)) AS BIGINT)) // 3600 + 1 - count(*) AS n_gaps
 FROM h1p GROUP BY conv_id
 """
 )
@@ -901,26 +901,65 @@ FROM j
 """
 
 
-# -------------------------------------------------- rows-only (non-SQL ops)
+# ------------------------------------------- formerly rows-only, now oracled
 
 def q_gapfill_idw_knn(spark, sf_dir) -> DataFrame:
-    """k-nearest IDW gap-fill (pandas-UDF path; pytest-oracled) — the
-    driver records a rows-only check here since pinv/k-NN ladders are not
-    SQL-expressible."""
+    """k-nearest IDW gap-fill through the REAL pandas-UDF kernel
+    (operators/gapfill.fill_series), emitted per-row so the DuckDB oracle
+    can mirror the full semantics: k=8 nearest valid buckets by |dt|
+    (earlier-ref tie-break), max-normalized distances, 1/d^5 weights,
+    round(2) pre-write (VERDICT r1 next-step #1)."""
     h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
     sp = S.with_spine(h1, "1h").selectExpr(
         "conv_id", "bucket_ts", "tok_len_sum / turn_cnt AS v"
     )
     out = G.gapfill(sp, "v", method="IDW", tier="1h")
-    return out.groupBy("fill_method").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("value_filled"), 2).alias("avg_value"),
+    return out.where(F.col("fill_method") != "observed").select(
+        "conv_id", "bucket_ts", "value_filled", "fill_method"
     )
 
 
+SQL_GAPFILL_IDW_KNN = (
+    _SQL_H1
+    + """
+, h1 AS (SELECT conv_id, bucket_ts, s2 / CAST(s1 AS DOUBLE) AS v FROM h1p),
+spine AS (
+  SELECT conv_id,
+         unnest(generate_series(min(bucket_ts), max(bucket_ts), INTERVAL 1 HOUR)) AS bucket_ts
+  FROM h1 GROUP BY conv_id
+),
+gaps AS (
+  SELECT s.conv_id, s.bucket_ts, CAST(epoch(s.bucket_ts) AS BIGINT) AS gt
+  FROM spine s LEFT JOIN h1 USING (conv_id, bucket_ts)
+  WHERE h1.v IS NULL
+),
+sel AS (
+  SELECT g.conv_id, g.bucket_ts, g.gt, r.v,
+         CAST(abs(g.gt - CAST(epoch(r.bucket_ts) AS BIGINT)) AS DOUBLE) AS d,
+         row_number() OVER (
+           PARTITION BY g.conv_id, g.gt
+           ORDER BY abs(g.gt - CAST(epoch(r.bucket_ts) AS BIGINT)), r.bucket_ts
+         ) AS rn
+  FROM gaps g JOIN h1 r USING (conv_id)
+  QUALIFY rn <= 8
+),
+normed AS (
+  SELECT conv_id, bucket_ts, gt, v,
+         d / max(d) OVER (PARTITION BY conv_id, gt) AS dn
+  FROM sel
+)
+SELECT conv_id, bucket_ts,
+       round(sum((1.0 / pow(dn, 5.0)) * v) / sum(1.0 / pow(dn, 5.0)), 2) AS value_filled,
+       'idw' AS fill_method
+FROM normed GROUP BY conv_id, bucket_ts
+"""
+)
+
+
 def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
-    """Gorilla encode->decode roundtrip audit: per-tier chunk/point counts
-    and exactness (mismatch must be 0)."""
+    """Gorilla encode->decode roundtrip, oracled on VALUES: the decoded
+    series must equal the SQL-computed source series bit-for-bit (the codec
+    is an exact inverse), not just count matches (VERDICT r1 next-step #1)."""
     from spinterps_spark.compress.gorilla import decode_tier_chunks, encode_tier_chunks
 
     h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
@@ -929,18 +968,15 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
         (F.col("tok_len_sum") / F.col("turn_cnt")).alias("value_filled"),
     )
     chunks = encode_tier_chunks(ser, "1h")
-    back = decode_tier_chunks(chunks).withColumnRenamed("value", "v_dec")
-    cmp = ser.join(back, ["conv_id", "bucket_ts"], "full")
-    return cmp.agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.sum(
-            (
-                F.col("value_filled").isNull()
-                | F.col("v_dec").isNull()
-                | (F.col("value_filled") != F.col("v_dec"))
-            ).cast("long")
-        ).alias("n_mismatch"),
-    )
+    return decode_tier_chunks(chunks).select("conv_id", "bucket_ts", "value")
+
+
+SQL_GORILLA_ROUNDTRIP = (
+    _SQL_H1
+    + """
+SELECT conv_id, bucket_ts, s2 / CAST(s1 AS DOUBLE) AS value FROM h1p
+"""
+)
 
 
 def _fitted_vg_setup(spark, sf_dir):
@@ -1009,45 +1045,185 @@ def q_variogram_fit_dim(spark, sf_dir) -> DataFrame:
     return V.fit_cluster_variograms(evg)
 
 
+SIMHASH_MAX_HAMMING = 6
+
+
 def q_simhash_near_dups(spark, sf_dir) -> DataFrame:
-    """SimHash near-duplicate pairs via 4x15-bit block LSH; rows-only
-    (bit-level simhash has no portable SQL twin)."""
+    """SimHash near-duplicate pairs via (max_hamming+1)-block LSH, emitted
+    per pair so DuckDB can mirror the whole path bit-for-bit: md5-token
+    60-bit simhash, pigeonhole blocking, exact hamming verify
+    (VERDICT r1 next-step #1/#4: DuckDB has xor/bit_count)."""
     from spinterps_spark.operators import dedup as D
 
     docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
     sig = D.simhash64(docs)
-    dups = D.simhash_near_dups(sig, max_hamming=6)
-    return dups.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.coalesce(F.max("hamming"), F.lit(-1)).alias("max_hamming"),
+    dups = D.simhash_near_dups(sig, max_hamming=SIMHASH_MAX_HAMMING)
+    return dups.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+def _sql_simhash_near_dups() -> str:
+    """DuckDB twin of simhash64 + simhash_near_dups: the block plan is
+    generated from the same simhash_blocks() helper, so Spark and the
+    oracle can never drift on blocking."""
+    from spinterps_spark.operators.dedup import simhash_blocks
+
+    plan = simhash_blocks(60, SIMHASH_MAX_HAMMING)
+    blocks_values = ", ".join(
+        f"({blk}, {off}, {width})" for blk, (off, width) in enumerate(plan)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+),
+contrib AS (
+  SELECT doc_id, bb.b AS b, sum(((h >> bb.b) & 1) * 2 - 1) AS c
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM contrib GROUP BY 1
+),
+keys AS (
+  SELECT doc_id, simhash, p.blk,
+         (simhash >> p.off) & ((1::BIGINT << p.width) - 1) AS key
+  FROM sig CROSS JOIN (VALUES {blocks_values}) AS p(blk, off, width)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM keys a JOIN keys b USING (blk, key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+LSH_TOPK = dict(k=5, n_tables=24, n_bits=4, dim=64, seed=7)
+NEAR_DUP = dict(sim_threshold=0.5, n_tables=6, n_bits=6, dim=64, seed=7)
 
 
 def q_lsh_cosine_topk(spark, sf_dir) -> DataFrame:
-    """SRP-LSH approximate ANN (scale path of cosine_topk); rows-only —
-    recall vs brute force is asserted in pytest."""
+    """SRP-LSH approximate ANN (scale path of cosine_topk), emitted per
+    (query, neighbor) row. The DuckDB oracle replays the IDENTICAL
+    hyperplanes as inline literals and the same sequential-fold dot
+    products, so bucket membership and ranking match bit-for-bit
+    (VERDICT r1 next-step #1)."""
     from spinterps_spark.operators import similarity as SIM
 
+    p = LSH_TOPK
     e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "q_id")
-    out = SIM.cosine_topk_lsh(e, q, k=5, n_tables=24, n_bits=4, dim=64)
-    return out.groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_found"),
-        F.round(F.max("sim"), 4).alias("best_sim"),
+    out = SIM.cosine_topk_lsh(
+        e, q, k=p["k"], seed=p["seed"], n_tables=p["n_tables"],
+        n_bits=p["n_bits"], dim=p["dim"],
     )
+    return out.select("q_id", "n_id", F.round("sim", 4).alias("sim"), "rn")
+
+
+def _srp_sig_union_sql(seed, n_tables, n_bits, dim) -> str:
+    """UNION ALL of one per-table signature SELECT over CTE e(vec_id, emb):
+    sign bit b of table t = (dot(emb, plane[t,b]) >= 0), sig = big-endian
+    bit fold — identical to operators/similarity.srp_signatures."""
+    from spinterps_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(seed, n_tables, n_bits, dim)
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            pl = "[" + ",".join(repr(float(x)) for x in planes[t, b]) + "]"
+            s = (
+                f"(CASE WHEN list_sum([emb[i] * ({pl})[i] "
+                f"for i in generate_series(1, {dim})]) >= 0 THEN 1 ELSE 0 END)"
+            )
+            bits.append(f"{s} * {2 ** (n_bits - 1 - b)}")
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, " + " + ".join(bits) + " AS sig FROM e"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def _sql_lsh_cosine_topk() -> str:
+    p = LSH_TOPK
+    sig_sql = _srp_sig_union_sql(p["seed"], p["n_tables"], p["n_bits"], p["dim"])
+    return f"""
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+sigs AS (
+{sig_sql}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, v.vec_id AS n_id
+  FROM sigs q JOIN sigs v USING (tbl, sig)
+  WHERE q.vec_id < 8 AND v.vec_id <> q.vec_id
+),
+sims AS (
+  SELECT c.q_id, c.n_id,
+         list_sum([qe.emb[i] * ve.emb[i] for i in generate_series(1, {p["dim"]})]) /
+         (sqrt(list_sum([x * x for x in qe.emb])) *
+          sqrt(list_sum([x * x for x in ve.emb]))) AS sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.q_id
+  JOIN e ve ON ve.vec_id = c.n_id
+)
+SELECT q_id, n_id, round(sim, 4) AS sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rn
+FROM sims
+QUALIFY rn <= {p["k"]}
+"""
 
 
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
-    """Multimodal plumbing: binary payload -> feature vectors via
-    mapInPandas (decode kernel stubbed deterministically); rows-only."""
+    """Multimodal plumbing, oracled per media row: binary payload ->
+    byte-moment features via mapInPandas (the declared stub decode) + the
+    JVM-side resize metadata math. DuckDB mirrors everything through
+    hex(payload) byte extraction, so the whole Spark-side contract —
+    schema, Arrow batch path, metadata math — is value-checked; only the
+    future real codec remains a stub (VERDICT r1 next-step #1)."""
     from spinterps_spark.operators import multimodal as M
 
-    media = M.synth_media(_utc(spark), n=96)
+    media = _utc(spark).read.parquet(fixtures.media_path())
     feats = M.extract_features(media, dim=8)
-    return feats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-    )
+    rs = M.resize_meta(media, max_w=32).select("media_id", "new_width", "new_height")
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("b_mean"),
+        F.element_at("feature", 3).cast("double").alias("b_min"),
+        F.element_at("feature", 4).cast("double").alias("b_max"),
+    ).join(rs, "media_id")
+
+
+def _sql_multimodal_features() -> str:
+    mp = fixtures.media_path()
+    return f"""
+WITH m AS (
+  SELECT media_id, kind, meta.width AS width, meta.height AS height,
+         octet_length(payload) AS n_bytes, hex(payload) AS h
+  FROM read_parquet('{mp}')
+),
+b AS (
+  SELECT media_id, kind, n_bytes, width, height,
+         [('0x' || substr(h, 2 * i - 1, 2))::INT
+          for i in generate_series(1, n_bytes)] AS bytes
+  FROM m
+)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(CAST(list_sum(bytes) / CAST(n_bytes AS DOUBLE) AS REAL) AS DOUBLE) AS b_mean,
+       CAST(list_min(bytes) AS DOUBLE) AS b_min,
+       CAST(list_max(bytes) AS DOUBLE) AS b_max,
+       CAST(round(width * least(1.0, 32.0 / width)) AS INT) AS new_width,
+       CAST(round(height * least(1.0, 32.0 / width)) AS INT) AS new_height
+FROM b
+"""
 
 
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
@@ -1100,16 +1276,47 @@ JOIN sizes zb ON zb.doc_id = p.doc_b
 
 
 def q_embedding_near_dups(spark, sf_dir) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only:
-    exact-threshold behavior asserted in pytest)."""
+    """Embedding-cosine near-duplicate pairs via SRP buckets, emitted per
+    pair; DuckDB oracle replays the same buckets + exact cosine threshold
+    (VERDICT r1 next-step #1)."""
     from spinterps_spark.operators import similarity as SIM
 
+    p = NEAR_DUP
     e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = SIM.embedding_near_dups(e, sim_threshold=0.5, n_tables=6, n_bits=6, dim=64)
-    return out.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.coalesce(F.max("sim"), F.lit(-1.0)), 4).alias("max_sim"),
+    out = SIM.embedding_near_dups(
+        e, sim_threshold=p["sim_threshold"], seed=p["seed"],
+        n_tables=p["n_tables"], n_bits=p["n_bits"], dim=p["dim"],
     )
+    return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+def _sql_embedding_near_dups() -> str:
+    p = NEAR_DUP
+    sig_sql = _srp_sig_union_sql(p["seed"], p["n_tables"], p["n_bits"], p["dim"])
+    return f"""
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+sigs AS (
+{sig_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b USING (tbl, sig)
+  WHERE a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT c.id_a, c.id_b,
+         list_sum([ea.emb[i] * eb.emb[i] for i in generate_series(1, {p["dim"]})]) /
+         (sqrt(list_sum([x * x for x in ea.emb])) *
+          sqrt(list_sum([x * x for x in eb.emb]))) AS sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(sim, 4) AS sim
+FROM sims WHERE sim >= {p["sim_threshold"]}
+"""
 
 
 # ------------------------------------------------------------- registry
@@ -1136,18 +1343,20 @@ QUERIES = {
     "evg_ntile_bins": (q_evg_ntile_bins, lambda: SQL_EVG_NTILE.format(cp=_cp())),
     "config_hash_groups": (q_config_hash_groups, lambda: SQL_CONFIG_HASH.format(tp=_tp())),
     "ecdf_ranks": (q_ecdf_ranks, lambda: SQL_ECDF.format(tp=_tp(), cp=_cp())),
-    # rows-only (no SQL oracle possible: pandas-UDF ladders / binary codecs)
-    "gapfill_idw_knn": (q_gapfill_idw_knn, None),
-    "gorilla_roundtrip": (q_gorilla_roundtrip, None),
+    "gapfill_idw_knn": (q_gapfill_idw_knn, lambda: SQL_GAPFILL_IDW_KNN.format(tp=_tp())),
+    "gorilla_roundtrip": (q_gorilla_roundtrip, lambda: SQL_GORILLA_ROUNDTRIP.format(tp=_tp())),
+    "simhash_near_dups": (q_simhash_near_dups, lambda: _sql_simhash_near_dups()),
+    "lsh_cosine_topk": (q_lsh_cosine_topk, lambda: _sql_lsh_cosine_topk()),
+    "embedding_near_dups": (q_embedding_near_dups, lambda: _sql_embedding_near_dups()),
+    "multimodal_features": (q_multimodal_features, lambda: _sql_multimodal_features()),
+    "ngram_jaccard": (q_ngram_jaccard, lambda: SQL_NGRAM_JACCARD),
+    # rows-only (genuinely non-SQL-expressible: pinv matrix solves / DE
+    # optimizer ladders inside Arrow-batched kernels; pytest holds the
+    # bit-exact independent NumPy oracle for each, tests/oracle.py)
     "gapfill_ok_fitted": (q_gapfill_ok_fitted, None),
     "gapfill_edk": (q_gapfill_edk, None),
     "gapfill_ik": (q_gapfill_ik, None),
     "variogram_fit_dim": (q_variogram_fit_dim, None),
-    "simhash_near_dups": (q_simhash_near_dups, None),
-    "lsh_cosine_topk": (q_lsh_cosine_topk, None),
-    "multimodal_features": (q_multimodal_features, None),
-    "ngram_jaccard": (q_ngram_jaccard, lambda: SQL_NGRAM_JACCARD),
-    "embedding_near_dups": (q_embedding_near_dups, None),
 }
 
 

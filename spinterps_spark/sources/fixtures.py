@@ -67,6 +67,40 @@ def coords_path(sf_dir: str) -> str:
     return path
 
 
+MEDIA_N = 96
+
+
+def media_path(n: int = MEDIA_N, seed: int = 5) -> str:
+    """Deterministic media fixture parquet (multimodal oracle input): the
+    same bytes synth_media builds, written once so DuckDB can read them."""
+    path = os.path.join(FIXTURE_DIR, f"media_{n}_{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        from spinterps_spark.operators.multimodal import media_rows
+
+        rows = media_rows(n, seed)
+        meta_type = pa.struct(
+            [("width", pa.int32()), ("height", pa.int32()),
+             ("n_frames", pa.int32()), ("sample_rate", pa.int32())]
+        )
+        table = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "kind": pa.array([r[1] for r in rows], pa.string()),
+                "payload": pa.array([r[2] for r in rows], pa.binary()),
+                "meta": pa.array(
+                    [dict(zip(("width", "height", "n_frames", "sample_rate"), r[3]))
+                     for r in rows],
+                    meta_type,
+                ),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def load_transcripts(spark, sf_dir: str):
     return spark.read.parquet(transcripts_path(sf_dir))
 

@@ -14,6 +14,37 @@ def test_known_small_vector():
     assert (v2.view(np.uint64) == vs.view(np.uint64)).all()
 
 
+def test_dod_range_boundaries_roundtrip():
+    """ADVICE r1 (high): dod values 64/256/2048 fell into 7/9/12-bit two's
+    complement payloads and decoded as -64/-256/-2048. Ranges are now
+    symmetric with the payload; every boundary must roundtrip exactly."""
+    # the exact repro from the advisor: dod = 64
+    ts = np.array([1000, 1100, 1264], dtype=np.int64)
+    c = GZ.encode_chunk(ts, np.zeros(3))
+    t2, _ = GZ.decode_chunk(c)
+    assert (t2 == ts).all()
+
+    # each class boundary, both signs, including the first out-of-class value
+    for dod in (63, 64, -64, -65, 255, 256, -256, -257,
+                2047, 2048, -2048, -2049, 1 << 40, -(1 << 40)):
+        deltas = np.array([100, 100 + dod], dtype=np.int64)
+        ts = np.concatenate(([0], np.cumsum(deltas))).astype(np.int64)
+        c = GZ.encode_chunk(ts, np.zeros(3))
+        t2, _ = GZ.decode_chunk(c)
+        assert (t2 == ts).all(), f"dod={dod}: {t2} != {ts}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-(1 << 33), max_value=1 << 33),
+                min_size=0, max_size=32))
+def test_dod_roundtrip_any_deltas(deltas):
+    """Timestamps need not ascend for the codec itself to be self-inverse."""
+    ts = np.cumsum([1_700_000_000] + deltas).astype(np.int64)
+    c = GZ.encode_ts(ts)
+    t2 = GZ.decode_ts(int(ts[0]), c, len(ts))
+    assert (t2 == ts).all()
+
+
 def test_constant_series_compresses_hard():
     ts = np.arange(0, 120 * 60, 60, dtype=np.int64)
     vs = np.full(120, 42.5)

@@ -48,11 +48,35 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
 
 
+def assert_dtype_kinds_match(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    """The driver's value-hash is dtype-sensitive: an int64 Spark column vs a
+    NaN-free float64 oracle column (DuckDB HUGEINT/DOUBLE artifacts) hashes
+    differently even when every value is equal (CORRECTNESS_r01 rollup_1m /
+    spine_gap_stats). Catch that drift locally."""
+    for c in got.columns:
+        g_int = pd.api.types.is_integer_dtype(got[c])
+        w_int = pd.api.types.is_integer_dtype(want[c])
+        g_f = pd.api.types.is_float_dtype(got[c])
+        w_f = pd.api.types.is_float_dtype(want[c])
+        if g_int and w_f and not want[c].isna().any():
+            raise AssertionError(
+                f"{name}.{c}: Spark int vs NaN-free oracle float "
+                f"({got[c].dtype} vs {want[c].dtype}) — driver hash will diverge; "
+                f"CAST the oracle SQL to BIGINT"
+            )
+        if w_int and g_f and not got[c].isna().any():
+            raise AssertionError(
+                f"{name}.{c}: Spark float vs oracle int "
+                f"({got[c].dtype} vs {want[c].dtype}) — driver hash will diverge"
+            )
+
+
 def assert_frames_match(got: pd.DataFrame, want: pd.DataFrame, name: str):
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
+    assert_dtype_kinds_match(got, want, name)
     g, w = canon(got), canon(want)
     for c in g.columns:
         gv, wv = g[c], w[c]

@@ -76,14 +76,35 @@ def fill_series(
     max_cut: float | None = None,
     round_p: int | None = DEFAULTS["round_p"],
     ik_lim: float = 1.0,
+    drifts: np.ndarray | None = None,
+    nan_llm: float | None = None,
+    nan_ulm: float | None = None,
 ):
     """Fill NaNs of v (float64) at times t (int64 seconds, sorted asc).
+
+    nan_llm/nan_ulm (P5, reference utils/lmt_and_infil_nc.py:459-502):
+    observations OUTSIDE [nan_llm, nan_ulm] are nulled to gaps and refilled
+    from in-range neighbors — distinct from the P4 min_cut/max_cut clamp,
+    which clips *interpolated* values.
+
+    drifts: optional (n, m) external-drift covariates aligned with t (must
+    be known at gap rows too — the whole point of EDK). None + method=EDK
+    falls back to the single synthetic linear-time drift (days since first
+    ref), preserving r1 behavior. m drifts add m border rows/cols to the
+    kriging system (reference cyth/interpmthds.pyx:588-719: one border per
+    drift raster).
 
     Returns (filled_values, est_vars, method_codes). Pure numpy — shared by
     the Spark UDF; the test oracle is an independent reimplementation.
     """
     t = np.asarray(t, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)
+    if nan_llm is not None or nan_ulm is not None:
+        v = v.copy()
+        if nan_llm is not None:
+            v[v < nan_llm] = np.nan
+        if nan_ulm is not None:
+            v[v > nan_ulm] = np.nan
     n = len(t)
     out = v.copy()
     est_var = np.zeros(n, dtype=np.float64)
@@ -162,10 +183,21 @@ def fill_series(
                 out[gap_idx[g_rows]] = zmean[g_rows]
                 codes[gap_idx[g_rows]] = M_NUGGET
             else:
+                drift_ref = drift_gap = None
+                if method == "EDK":
+                    if drifts is None:
+                        # r1 default: one synthetic linear-time drift
+                        d_all = ((t - t_ref.min()) / 86400.0)[:, None]
+                    else:
+                        d_all = np.asarray(drifts, dtype=np.float64)
+                        if d_all.ndim == 1:
+                            d_all = d_all[:, None]
+                    drift_ref = d_all[ref_idx]
+                    drift_gap = d_all[gap_idx]
                 _fill_krige(
                     method, g_rows, nb, dists, zs, nearest, t_ref, v_ref,
                     t_gap, vg_str, gap_idx, out, est_var, codes,
-                    ik_lim=ik_lim,
+                    ik_lim=ik_lim, drift_ref=drift_ref, drift_gap=drift_gap,
                 )
         else:
             raise NotImplementedError(method)
@@ -184,7 +216,7 @@ def fill_series(
 
 def _fill_krige(
     method, g_rows, nb, dists, zs, nearest, t_ref, v_ref, t_gap, vg_str,
-    gap_idx, out, est_var, codes, ik_lim=1.0,
+    gap_idx, out, est_var, codes, ik_lim=1.0, drift_ref=None, drift_gap=None,
 ):
     """Kriging solves per gap, grouped by neighbor index-set so each set
     costs one matrix build + pinv (the reference O2 rewrite,
@@ -197,8 +229,9 @@ def _fill_krige(
     - SK  (365-471): covariance form C = total_sill - gamma, no border;
       est_covar = max(0, C0 - sum(lambda*rhs)). Deprecated in the reference
       pipeline (interp/main.py:263-265) but kept for parity.
-    - EDK (474-585): OK border + one drift row/col; drift here = linear
-      time (days since group start) — the temporal analog of raster drift.
+    - EDK (474-585, multi-drift 588-719): OK border + one row/col PER
+      drift; drift defaults to linear time (days since group start) and
+      generalizes to m external covariate columns (drift_ref/drift_gap).
     - IK  (722-742): OK lambdas applied to indicator(z <= lim); value in
       [0,1], est_var = ik*(1-ik).
     """
@@ -209,7 +242,7 @@ def _fill_krige(
         groups[tuple(nb[r])].append(r)
 
     total_sill = sum(s for s, _m, _r in parse_vg_str(vg_str))
-    t0_drift = t_ref.min()
+    n_drift = drift_ref.shape[1] if drift_ref is not None else 0
 
     for key, rows in groups.items():
         kk = len(key)
@@ -222,13 +255,15 @@ def _fill_krige(
         if method == "SK":
             a = total_sill - g
         elif method == "EDK":
-            a = np.zeros((kk + 2, kk + 2), dtype=np.float64)
+            # one Lagrange border + one border row/col per drift
+            a = np.zeros((kk + 1 + n_drift, kk + 1 + n_drift), dtype=np.float64)
             a[:kk, :kk] = g
             a[kk, :kk] = 1.0
             a[:kk, kk] = 1.0
-            drift = (tt - t0_drift) / 86400.0
-            a[kk + 1, :kk] = drift
-            a[:kk, kk + 1] = drift
+            dr = drift_ref[key_l]                       # (kk, n_drift)
+            for q in range(n_drift):
+                a[kk + 1 + q, :kk] = dr[:, q]
+                a[:kk, kk + 1 + q] = dr[:, q]
         else:  # OK / IK
             a = np.zeros((kk + 1, kk + 1), dtype=np.float64)
             a[:kk, :kk] = g
@@ -259,10 +294,10 @@ def _fill_krige(
                 codes[j] = M_OK
                 continue
             if method == "EDK":
-                rhs = np.zeros(kk + 2, dtype=np.float64)
+                rhs = np.zeros(kk + 1 + n_drift, dtype=np.float64)
                 rhs[:kk] = gam[i]
                 rhs[kk] = 1.0
-                rhs[kk + 1] = (t_gap[r] - t0_drift) / 86400.0
+                rhs[kk + 1:] = drift_gap[r]
             else:
                 rhs = np.zeros(kk + 1, dtype=np.float64)
                 rhs[:kk] = gam[i]
@@ -287,6 +322,19 @@ def _fill_krige(
                 codes[j] = M_OK
 
 
+def with_drift(
+    spined: DataFrame,
+    drift: DataFrame,
+    drift_cols: list[str],
+    keys: tuple[str, str] = ("conv_id", "bucket_ts"),
+) -> DataFrame:
+    """J8 external-drift lookup join (reference interp/drift.py:165-227):
+    attach per-(conv, bucket) covariate columns to a spined series. Drift
+    must be known at gap rows too; feed the result to gapfill(...,
+    method='EDK', drift_cols=drift_cols)."""
+    return spined.join(drift.select(*keys, *drift_cols), list(keys), "left")
+
+
 def gapfill(
     spined: DataFrame,
     value_col: str,
@@ -298,6 +346,7 @@ def gapfill(
     pad_buckets: int | None = None,
     emit: str = "filled",
     gorilla_chunk: int = 120,
+    drift_cols: list[str] | None = None,
     **knobs,
 ) -> DataFrame:
     """Fill gaps of `value_col` in a spined rollup (NULL == gap).
@@ -305,6 +354,10 @@ def gapfill(
     vg_dim: optional small dim (cluster_id int, vg_str string) for OK —
     broadcast-joined via coords (conv_id -> cluster_id). Output columns:
     conv_id, bucket_ts, value_filled, est_var, fill_method.
+
+    drift_cols: EDK external-drift covariate columns already present on
+    `spined` (join them with with_drift); m columns -> m border rows/cols
+    in the kriging system. None + EDK = the synthetic linear-time drift.
 
     emit='chunks' fuses Gorilla encoding into the same grouped pass (no
     second shuffle of the filled series): output is the chunk-struct schema
@@ -315,11 +368,13 @@ def gapfill(
     params = {**DEFAULTS, **knobs}
     secs = TIER_SECONDS[tier]
 
+    drift_cols = list(drift_cols) if drift_cols else []
     df = spined.select(
         "conv_id",
         "bucket_ts",
         F.col(value_col).cast("double").alias("_v"),
         F.unix_timestamp("bucket_ts").alias("_t"),
+        *[F.col(c).cast("double").alias(c) for c in drift_cols],
     )
 
     kriging = method in ("OK", "SK", "EDK", "IK")
@@ -335,30 +390,42 @@ def gapfill(
 
     group_cols = ["conv_id"]
     if chunk_buckets:
-        # single-pass chunk assignment: each row explodes to its own chunk
-        # plus (for refs near an edge) the neighboring chunk as a pad row —
-        # one scan of the source instead of a 3-way union that would
-        # recompute the upstream spine join three times.
-        if pad_buckets is None:
-            pad_buckets = params["n_neighbors"] * 4
+        # RANK-BASED chunk membership (same guarantee as the virtual-spine
+        # path): ref i joins every chunk in [chunk(t_{i-k}) .. chunk(t_{i+k})]
+        # via lag/lead over the conversation's refs, so every chunk —
+        # including ones lying wholly inside a silence hole longer than the
+        # chunk span — receives at least the k nearest refs on each side,
+        # and per-gap neighbor selection is bit-identical to the global
+        # k-NN. (ADVICE r1: the fixed pad_buckets edge pad lost true
+        # neighbors across holes longer than the pad.) pad_buckets is
+        # retained for API compatibility but no longer used. The ref/gap
+        # split shares one shuffle via ReusedExchange — the branches are
+        # filters over the same child plan.
+        from pyspark.sql import Window as W
+
         span = chunk_buckets * secs
-        pad = pad_buckets * secs
-        own = F.floor(F.col("_t") / span)
+        k = params["n_neighbors"]
+        w = W.partitionBy("conv_id").orderBy("_t")
+        b = W.partitionBy("conv_id")
         is_ref = F.col("_v").isNotNull()
-        memberships = F.concat(
-            F.array(F.struct(own.alias("c"), F.lit(False).alias("p"))),
-            F.when(
-                is_ref & (F.col("_t") % span < pad),
-                F.array(F.struct((own - 1).alias("c"), F.lit(True).alias("p"))),
-            ).otherwise(F.array().cast("array<struct<c:bigint,p:boolean>>")),
-            F.when(
-                is_ref & (F.col("_t") % span >= span - pad),
-                F.array(F.struct((own + 1).alias("c"), F.lit(True).alias("p"))),
-            ).otherwise(F.array().cast("array<struct<c:bigint,p:boolean>>")),
+        refs = df.where(is_ref).select(
+            "*",
+            F.coalesce(F.lag("_t", k).over(w), F.min("_t").over(b)).alias("_tl"),
+            F.coalesce(F.lead("_t", k).over(w), F.max("_t").over(b)).alias("_tr"),
         )
-        df = df.select("*", F.explode(memberships).alias("_m")).select(
-            "*", F.col("_m.c").alias("_chunk"), F.col("_m.p").alias("_pad")
-        ).drop("_m")
+        gaps = df.where(~is_ref).select(
+            "*", F.col("_t").alias("_tl"), F.col("_t").alias("_tr")
+        )
+        df = refs.unionByName(gaps)
+        df = df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_tl") / span), F.floor(F.col("_tr") / span)
+                )
+            ).alias("_chunk"),
+        ).drop("_tl", "_tr")
+        df = df.withColumn("_pad", F.floor(F.col("_t") / span) != F.col("_chunk"))
         group_cols = ["conv_id", "_chunk"]
     else:
         df = df.select("*", F.lit(0).alias("_chunk"), F.lit(False).alias("_pad"))
@@ -383,6 +450,8 @@ def gapfill(
         max_cut=params.get("max_cut"),
         round_p=params.get("round_p"),
         ik_lim=params.get("ik_lim", 1.0),
+        nan_llm=params.get("nan_llm"),
+        nan_ulm=params.get("nan_ulm"),
     )
 
     def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -391,6 +460,9 @@ def gapfill(
         t_all = pdf["_t"].to_numpy(np.int64)
         v_all = pdf["_v"].to_numpy(np.float64)
         vg_all = pdf["vg_str"].to_numpy() if kriging else None
+        dr_all = (
+            pdf[drift_cols].to_numpy(np.float64) if drift_cols else None
+        )
         filled = np.empty(len(pdf), dtype=np.float64)
         est = np.empty(len(pdf), dtype=np.float64)
         codes = np.empty(len(pdf), dtype=object)
@@ -399,7 +471,10 @@ def gapfill(
             if kriging:
                 nn = pd.notna(vg_all[s:e])
                 vg = vg_all[s:e][nn][0] if nn.any() else "nan"
-            f, ev, cd = fill_series(t_all[s:e], v_all[s:e], vg_str=vg, **kw)
+            f, ev, cd = fill_series(
+                t_all[s:e], v_all[s:e], vg_str=vg,
+                drifts=dr_all[s:e] if dr_all is not None else None, **kw,
+            )
             filled[s:e] = f
             est[s:e] = ev
             codes[s:e] = cd
@@ -552,6 +627,8 @@ def gapfill_virtual_chunks(
         max_cut=params.get("max_cut"),
         round_p=params.get("round_p"),
         ik_lim=params.get("ik_lim", 1.0),
+        nan_llm=params.get("nan_llm"),
+        nan_ulm=params.get("nan_ulm"),
     )
 
     def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -130,6 +130,73 @@ def normalize(evg: DataFrame) -> DataFrame:
     return out.withColumn("gamma_n", F.col("gamma_pd") / F.col("norm_val"))
 
 
+def ecdf_interp(
+    train: DataFrame,
+    probe: DataFrame,
+    key_col: str = "cluster_id",
+    value_col: str = "v",
+    prob_col: str = "ecdf",
+) -> DataFrame:
+    """interp1d-style ecdf lookup with boundary fill (reference
+    vgclus/tvgs_clus.py:372-377: interp1d over the rank ecdf, probes outside
+    the observed range take the boundary probability).
+
+    Spark-first: UNION train and probe rows, one sort per key, two running
+    window passes (nearest train row <= v and >= v via last/first
+    ignorenulls), then the linear interpolation in closed form — a
+    sort-merge lookup, never a per-probe join. Ties (probe v == train v)
+    resolve to the train probability exactly (train sorts first).
+
+    train: (key, value, prob); probe: (key, value). Returns
+    (key, value, prob_interp) for probe rows.
+    """
+    from pyspark.sql import Window as W
+
+    tr = train.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("double").alias("_x"),
+        F.col(prob_col).cast("double").alias("_p"),
+        F.lit(0).alias("_probe"),
+    )
+    pr = probe.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("double").alias("_x"),
+        F.lit(None).cast("double").alias("_p"),
+        F.lit(1).alias("_probe"),
+    )
+    u = tr.unionByName(pr)
+    order = [F.col("_x"), F.col("_probe"), F.col("_p")]
+    wp = W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("_k").orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    d = u.select(
+        "*",
+        F.last(F.when(F.col("_probe") == 0, F.col("_p")), ignorenulls=True)
+        .over(wp).alias("_p0"),
+        F.last(F.when(F.col("_probe") == 0, F.col("_x")), ignorenulls=True)
+        .over(wp).alias("_x0"),
+        F.first(F.when(F.col("_probe") == 0, F.col("_p")), ignorenulls=True)
+        .over(wn).alias("_p1"),
+        F.first(F.when(F.col("_probe") == 0, F.col("_x")), ignorenulls=True)
+        .over(wn).alias("_x1"),
+    ).where(F.col("_probe") == 1)
+    interp = (
+        F.when(F.col("_p0").isNull(), F.col("_p1"))          # below min -> fill
+        .when(F.col("_p1").isNull(), F.col("_p0"))           # above max -> fill
+        .when(F.col("_x1") == F.col("_x0"), F.col("_p0"))    # exact hit
+        .otherwise(
+            F.col("_p0")
+            + (F.col("_x") - F.col("_x0"))
+            * (F.col("_p1") - F.col("_p0"))
+            / (F.col("_x1") - F.col("_x0"))
+        )
+    )
+    return d.select(
+        F.col("_k").alias(key_col),
+        F.col("_x").alias(value_col),
+        interp.alias("prob_interp"),
+    )
+
+
 # --------------------------------------------------------------- K6 fit
 
 def _de_minimize(obj, bounds: np.ndarray, seed: int, n_pop: int = 24,

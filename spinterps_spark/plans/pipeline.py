@@ -23,6 +23,7 @@ from spinterps_spark.operators.gapfill import gapfill, gapfill_virtual_chunks
 from spinterps_spark.operators.rollup import base_rollup, rollup_tier
 from spinterps_spark.operators.spine import with_spine
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
+from spinterps_spark.sources.tableformat import tier_tables
 
 
 def run_retention_pipeline(
@@ -42,6 +43,8 @@ def run_retention_pipeline(
     fill_knobs: dict | None = None,
     n_turns_hint: int | None = None,
     fuse_fill_and_chunks: bool = False,
+    table_format=None,
+    iceberg_table: str | None = None,
 ) -> dict:
     """Run (or resume) the full tier cascade. Returns a metrics dict.
 
@@ -49,10 +52,25 @@ def run_retention_pipeline(
         rollup/tier=<t>/wave=<k>/*.parquet   rolled-up buckets
         filled/tier=<t>/wave=<k>/*.parquet   gap-filled series
         chunks/tier=<t>/wave=<k>/*.parquet   Gorilla chunk structs
+        rollup/_snapshots.jsonl               tier commits + run settings
         ckpt/*.parquet                        lineage + metrics rows
-    """
+
+    Every completed tier rollup is COMMITTED through the TableFormat seam
+    (sources/tableformat.py): Iceberg partitioned (tier, days(bucket_ts))
+    with run settings in the snapshot summary when the runtime is present,
+    parquet + _snapshots.jsonl metadata commits otherwise. Resume first
+    consults the snapshot log (whole-tier skip), then the wave checkpoints
+    (partial-tier skip)."""
     run_id = run_id or new_run_id()
     ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
+    fmt = table_format or tier_tables(
+        spark, os.path.join(out_dir, "rollup"), iceberg_table
+    )
+    run_props = dict(
+        run_id=run_id, n_waves=n_waves, n_salt=n_salt,
+        fill_method=fill_method, fill_metric=fill_metric,
+        tiers=",".join(tiers), fused=fuse_fill_and_chunks,
+    )
     min_cnt = min_cnt or {}
     fill_knobs = fill_knobs or {}
     t_start = time.time()
@@ -75,10 +93,18 @@ def run_retention_pipeline(
                 return rollup_tier(sub, _tier, min_cnt=min_cnt.get(_tier))
             src = lower
 
-        rolled = run_waved_pass(
-            spark, src, make, os.path.join(out_dir, f"rollup/tier={tier}"),
-            ckpt, run_id, f"rollup:{tier}", n_waves=n_waves,
-        )
+        stage = f"rollup:{tier}"
+        tier_loc = os.path.join(out_dir, f"rollup/tier={tier}")
+        if fmt.committed(run_id, stage):
+            # snapshot-summary resume: the whole tier was published
+            rolled = spark.read.parquet(os.path.join(tier_loc, "wave=*"))
+        else:
+            rolled = run_waved_pass(
+                spark, src, make, tier_loc,
+                ckpt, run_id, stage, n_waves=n_waves,
+            )
+            fmt.commit_tier(tier, rolled, tier_loc,
+                            {**run_props, "stage": stage})
 
         if fuse_fill_and_chunks and gorilla:
             # one grouped pass over the VIRTUAL spine: gap grid points are

@@ -269,7 +269,10 @@ def q_idw_fill_all(spark, sf_dir) -> DataFrame:
     refs = sp.where(F.col("valid")).select(
         "conv_id", F.unix_timestamp("bucket_ts").alias("rt"), val
     )
-    j = gaps.join(refs, "conv_id").where(F.abs(F.col("gt") - F.col("rt")) <= IDW_H)
+    from spinterps_spark.operators.neighbors import horizon_pairs
+
+    # bounded-bucket pair join (never O(gaps x refs) per conversation)
+    j = horizon_pairs(gaps, refs, IDW_H, key="conv_id")
     j = j.withColumn("d", F.abs(F.col("gt") - F.col("rt")).cast("double"))
     wspec = W.partitionBy("conv_id", "gt")
     j = j.withColumn("dn", F.col("d") / F.max("d").over(wspec))
@@ -726,7 +729,10 @@ QUALIFY rn <= 6
 def q_asof_nnb_infill(spark, sf_dir) -> DataFrame:
     """J7 nearest-neighbor as-of infill: each missing (user, 1h bucket) takes
     the value of the temporally nearest present bucket of the same user
-    (reference utils/lmt_and_infil_nc.py:505-557, ranked-join form)."""
+    (reference utils/lmt_and_infil_nc.py:505-557). Executed as the
+    sort-merge window walk (operators/spine.nearest_asof_fill) — O(n) per
+    user, one shuffle — while the DuckDB oracle keeps the ranked-join form,
+    so the scalable plan is value-checked against the naive semantics."""
     ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
@@ -741,25 +747,12 @@ def q_asof_nnb_infill(spark, sf_dir) -> DataFrame:
         "user_id",
         F.explode(F.sequence("_a", "_b", F.expr("INTERVAL 1 HOUR"))).alias("bucket_ts"),
     )
-    gaps = spine.join(hourly, ["user_id", "bucket_ts"], "left").where(
-        F.col("v").isNull()
-    ).select("user_id", F.col("bucket_ts"), F.unix_timestamp("bucket_ts").alias("gt"))
-    refs = hourly.select(
-        "user_id", F.unix_timestamp("bucket_ts").alias("rt"), "v"
+    allr = spine.join(hourly, ["user_id", "bucket_ts"], "left")
+    out = S.nearest_asof_fill(allr, "v", key_col="user_id")
+    return out.select(
+        "user_id", "bucket_ts",
+        F.round("v_filled", 6).alias("v_filled"), "dist_sec",
     )
-    j = gaps.join(refs, "user_id")
-    w = W.partitionBy("user_id", "gt").orderBy(
-        F.abs(F.col("gt") - F.col("rt")), F.col("rt")
-    )
-    out = (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id", "bucket_ts", F.round("v", 6).alias("v_filled"),
-            F.abs(F.col("gt") - F.col("rt")).alias("dist_sec"),
-        )
-    )
-    return out
 
 
 SQL_ASOF_NNB = """
@@ -791,9 +784,15 @@ QUALIFY row_number() OVER (PARTITION BY user_id, gt ORDER BY abs(gt - rt), rt) =
 
 
 def q_evg_ntile_bins(spark, sf_dir) -> DataFrame:
-    """A4 equal-count empirical-variogram bins via ntile
-    (reference variograms/vgs.py:495-520: bins of nk pairs each)."""
-    c = fixtures.load_coords(_utc(spark), sf_dir).where(F.col("cluster_id") <= 1)
+    """A4 equal-count empirical-variogram bins via ntile (reference
+    variograms/vgs.py:495-520: bins of nk pairs each, with the EVG VALUE
+    statistic per bin — r1 binned only mean distance, VERDICT Missing #6).
+    z = conversation activity (turn count); gamma = 0.5 * mean (zi-zj)^2."""
+    t = _t(spark, sf_dir)
+    per_conv = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("z"))
+    c = fixtures.load_coords(_utc(spark), sf_dir).where(
+        F.col("cluster_id") <= 1
+    ).join(F.broadcast(per_conv), "conv_id")
     a, b = c.alias("a"), c.alias("b")
     j = a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id")).where(
         F.col("a.conv_id") < F.col("b.conv_id")
@@ -805,6 +804,7 @@ def q_evg_ntile_bins(spark, sf_dir) -> DataFrame:
     j = j.select(
         F.col("a.cluster_id").alias("cluster_id"),
         d.alias("d"),
+        ((F.col("a.z") - F.col("b.z")) * (F.col("a.z") - F.col("b.z"))).alias("sq"),
         F.col("a.conv_id").alias("ca"),
         F.col("b.conv_id").alias("cb"),
     )
@@ -816,24 +816,34 @@ def q_evg_ntile_bins(spark, sf_dir) -> DataFrame:
             F.sum(F.col("d").cast("decimal(38,12)")).cast("double")
             / F.count(F.lit(1)), 4,
         ).alias("mean_dist"),
+        F.round(
+            F.lit(0.5) * F.sum(F.col("sq").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("gamma"),
     )
 
 
 SQL_EVG_NTILE = """
-WITH c AS (SELECT * FROM read_parquet('{cp}') WHERE cluster_id <= 1),
+WITH z AS (SELECT conv_id, count(*) AS z FROM read_parquet('{tp}') GROUP BY 1),
+c AS (
+  SELECT k.*, z.z FROM read_parquet('{cp}') k JOIN z USING (conv_id)
+  WHERE k.cluster_id <= 1
+),
 pairs AS (
   SELECT a.cluster_id,
          round(sqrt(pow(a.x - b.x, 2) + pow(a.y - b.y, 2)), 6) AS d,
+         (a.z - b.z) * (a.z - b.z) AS sq,
          a.conv_id AS ca, b.conv_id AS cb
   FROM c a JOIN c b ON a.cluster_id = b.cluster_id AND a.conv_id < b.conv_id
 ),
 tiled AS (
-  SELECT cluster_id, d,
+  SELECT cluster_id, d, sq,
          ntile(10) OVER (PARTITION BY cluster_id ORDER BY d, ca, cb) AS tile
   FROM pairs
 )
 SELECT cluster_id, tile, count(*) AS n_pairs,
-       round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist
+       round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist,
+       round(0.5 * CAST(sum(CAST(sq AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6) AS gamma
 FROM tiled GROUP BY 1, 2
 """
 
@@ -898,6 +908,93 @@ SELECT conv_id, cluster_id, n_turns,
        round(CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY n_turns, conv_id) AS DOUBLE)
              / (count(*) OVER (PARTITION BY cluster_id) + 1), 6) AS ecdf
 FROM j
+"""
+
+
+def q_ecdf_interp_lookup(spark, sf_dir) -> DataFrame:
+    """interp1d ecdf lookup with boundary fill (vgclus/tvgs_clus.py:372-377):
+    20 evenly spaced probe values per cluster (spanning past both ends of
+    the observed range) interpolated against the rank ecdf — exercised
+    through the sort-merge ecdf_interp operator."""
+    from spinterps_spark.operators.variogram import ecdf_interp
+
+    t = _t(spark, sf_dir)
+    per_conv = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    c = fixtures.load_coords(_utc(spark), sf_dir).select("conv_id", "cluster_id")
+    j = per_conv.join(F.broadcast(c), "conv_id")
+    w = W.partitionBy("cluster_id").orderBy("n_turns", "conv_id")
+    n = W.partitionBy("cluster_id")
+    train = j.select(
+        "cluster_id",
+        F.col("n_turns").cast("double").alias("v"),
+        (
+            F.row_number().over(w).cast("double")
+            / (F.count(F.lit(1)).over(n) + 1)
+        ).alias("ecdf"),
+    )
+    bounds = train.groupBy("cluster_id").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    ks = _utc(spark).range(20).select(F.col("id").cast("int").alias("k"))
+    probe = bounds.crossJoin(F.broadcast(ks)).select(
+        "cluster_id",
+        (
+            F.col("vmin") - 5 + F.col("k") * ((F.col("vmax") - F.col("vmin") + 10) / 19.0)
+        ).alias("v"),
+    )
+    out = ecdf_interp(train, probe)
+    return out.select(
+        "cluster_id", F.round("v", 6).alias("v"),
+        F.round("prob_interp", 6).alias("prob_interp"),
+    )
+
+
+SQL_ECDF_INTERP = """
+WITH per_conv AS (
+  SELECT conv_id, count(*) AS n_turns FROM read_parquet('{tp}') GROUP BY 1
+),
+j AS (
+  SELECT p.conv_id, c.cluster_id, p.n_turns
+  FROM per_conv p JOIN read_parquet('{cp}') c USING (conv_id)
+),
+train AS (
+  SELECT cluster_id, CAST(n_turns AS DOUBLE) AS x,
+         CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY n_turns, conv_id) AS DOUBLE)
+           / (count(*) OVER (PARTITION BY cluster_id) + 1) AS p
+  FROM j
+),
+bounds AS (SELECT cluster_id, min(x) AS vmin, max(x) AS vmax FROM train GROUP BY 1),
+probe AS (
+  SELECT cluster_id, vmin - 5 + k * ((vmax - vmin + 10) / 19.0) AS x
+  FROM bounds CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS k)
+),
+u AS (
+  SELECT cluster_id, x, p, 0 AS probe FROM train
+  UNION ALL
+  SELECT cluster_id, x, NULL AS p, 1 AS probe FROM probe
+),
+win AS (
+  SELECT *,
+    last_value(CASE WHEN probe = 0 THEN p END IGNORE NULLS) OVER
+      (PARTITION BY cluster_id ORDER BY x, probe, p
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p0,
+    last_value(CASE WHEN probe = 0 THEN x END IGNORE NULLS) OVER
+      (PARTITION BY cluster_id ORDER BY x, probe, p
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+    first_value(CASE WHEN probe = 0 THEN p END IGNORE NULLS) OVER
+      (PARTITION BY cluster_id ORDER BY x, probe, p
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p1,
+    first_value(CASE WHEN probe = 0 THEN x END IGNORE NULLS) OVER
+      (PARTITION BY cluster_id ORDER BY x, probe, p
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x1
+  FROM u
+)
+SELECT cluster_id, round(x, 6) AS v,
+       round(CASE WHEN p0 IS NULL THEN p1
+                  WHEN p1 IS NULL THEN p0
+                  WHEN x1 = x0 THEN p0
+                  ELSE p0 + (x - x0) * (p1 - p0) / (x1 - x0) END, 6) AS prob_interp
+FROM win WHERE probe = 1
 """
 
 
@@ -1013,6 +1110,25 @@ def q_gapfill_edk(spark, sf_dir) -> DataFrame:
     """K3: external-drift kriging (linear temporal drift); rows-only."""
     sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
     out = G.gapfill(sp, "v", method="EDK", tier="1h", coords=coords, vg_dim=vg_dim)
+    return out.groupBy("fill_method").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_gapfill_edk_multi(spark, sf_dir) -> DataFrame:
+    """K3 multi-drift: external-drift kriging with TWO drift covariate
+    columns attached via the J8 drift lookup join (with_drift); rows-only
+    (matrix solves; pytest test_edk_multi_drift_* holds the bit-exact
+    oracle)."""
+    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    drift = sp.select(
+        "conv_id", "bucket_ts",
+        (F.unix_timestamp("bucket_ts") / 86400.0).alias("d_days"),
+        F.sin(F.hour("bucket_ts") * (2 * 3.141592653589793 / 24.0)).alias("d_diurnal"),
+    )
+    spined = G.with_drift(sp, drift, ["d_days", "d_diurnal"])
+    out = G.gapfill(
+        spined, "v", method="EDK", tier="1h", coords=coords, vg_dim=vg_dim,
+        drift_cols=["d_days", "d_diurnal"],
+    )
     return out.groupBy("fill_method").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
@@ -1340,9 +1456,10 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, lambda: SQL_COSINE_TOPK),
     "pie_neighbors": (q_pie_neighbors, lambda: SQL_PIE_NEIGHBORS.format(cp=_cp())),
     "asof_nnb_infill": (q_asof_nnb_infill, lambda: SQL_ASOF_NNB),
-    "evg_ntile_bins": (q_evg_ntile_bins, lambda: SQL_EVG_NTILE.format(cp=_cp())),
+    "evg_ntile_bins": (q_evg_ntile_bins, lambda: SQL_EVG_NTILE.format(tp=_tp(), cp=_cp())),
     "config_hash_groups": (q_config_hash_groups, lambda: SQL_CONFIG_HASH.format(tp=_tp())),
     "ecdf_ranks": (q_ecdf_ranks, lambda: SQL_ECDF.format(tp=_tp(), cp=_cp())),
+    "ecdf_interp_lookup": (q_ecdf_interp_lookup, lambda: SQL_ECDF_INTERP.format(tp=_tp(), cp=_cp())),
     "gapfill_idw_knn": (q_gapfill_idw_knn, lambda: SQL_GAPFILL_IDW_KNN.format(tp=_tp())),
     "gorilla_roundtrip": (q_gorilla_roundtrip, lambda: SQL_GORILLA_ROUNDTRIP.format(tp=_tp())),
     "simhash_near_dups": (q_simhash_near_dups, lambda: _sql_simhash_near_dups()),
@@ -1355,6 +1472,7 @@ QUERIES = {
     # bit-exact independent NumPy oracle for each, tests/oracle.py)
     "gapfill_ok_fitted": (q_gapfill_ok_fitted, None),
     "gapfill_edk": (q_gapfill_edk, None),
+    "gapfill_edk_multi": (q_gapfill_edk_multi, None),
     "gapfill_ik": (q_gapfill_ik, None),
     "variogram_fit_dim": (q_variogram_fit_dim, None),
 }

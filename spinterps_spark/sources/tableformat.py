@@ -1,0 +1,156 @@
+"""Tier-table format seam: Iceberg when available, parquet+sidecar otherwise.
+
+The north rule stores rolled-up tiers in an Iceberg table partitioned by
+(tier, days(bucket_ts)) with run settings recorded in the snapshot summary
+(reference analog: run settings as netCDF attrs, interp/prepare.py:387-428).
+This sandbox ships no Iceberg runtime jars and has no network, so the seam
+isolates the format decision:
+
+- IcebergTierTables: the real thing — DataFrameWriterV2 `writeTo(table)
+  .partitionedBy(col("tier"), days(col("bucket_ts")))`, per-commit run
+  settings via `snapshot-property.*` write options, resume by inspecting
+  `<table>.snapshots` summaries. Activates automatically when the Iceberg
+  Spark runtime is on the classpath and a catalog is configured
+  (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog).
+- ParquetTierTables: same contract on plain parquet — data lives in the
+  waved directories the pipeline already wrote; a commit is a metadata-only
+  append of one JSON line (commit uuid, utc ts, properties) to
+  `_snapshots.jsonl`, mirroring Iceberg's metadata-commit model instead of
+  rewriting data.
+
+`tier_tables(spark, location)` picks the first available implementation.
+tests/test_tableformat.py exercises the parquet path and carries the
+skipped-with-reason Iceberg integration test for jar-equipped clusters.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is loadable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTierTables:
+    """Real Iceberg tier tables (requires iceberg-spark-runtime jars and a
+    configured catalog — unavailable in this sandbox, exercised by the
+    skipped integration test)."""
+
+    def __init__(self, spark, table: str):
+        self.spark = spark
+        self.table = table  # e.g. "catalog.db.tier_rollups"
+        self._created = False
+
+    def commit_tier(self, tier: str, df: DataFrame, location: str,
+                    run_props: dict) -> str:
+        """Append one tier's rows as a single Iceberg commit whose snapshot
+        summary carries the run settings (north-rule requirement)."""
+        commit_id = uuid.uuid4().hex
+        out = df.withColumn("tier", F.lit(tier))
+        writer = out.writeTo(self.table)
+        for k, v in {**run_props, "commit_id": commit_id, "tier": tier}.items():
+            writer = writer.option(f"snapshot-property.{k}", str(v))
+        if not self._created:
+            try:
+                (
+                    writer.partitionedBy(F.col("tier"), F.days(F.col("bucket_ts")))
+                    .create()
+                )
+            except Exception:
+                writer.append()  # table already exists
+            self._created = True
+        else:
+            writer.append()
+        return commit_id
+
+    def snapshots(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT committed_at, snapshot_id, summary FROM {self.table}.snapshots"
+        ).collect()
+        return [dict(r.summary) | {"snapshot_id": str(r.snapshot_id)} for r in rows]
+
+    def committed(self, run_id: str, stage: str) -> bool:
+        return any(
+            s.get("run_id") == run_id and s.get("stage") == stage
+            for s in self.snapshots()
+        )
+
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.spark.read.table(self.table).where(F.col("tier") == tier)
+
+
+class ParquetTierTables:
+    """Parquet fallback with the same commit contract. Data files are the
+    waved parquet the pipeline already wrote under `location`; a commit
+    appends one JSON line of properties to _snapshots.jsonl (metadata-only,
+    like an Iceberg snapshot; no data rewrite)."""
+
+    def __init__(self, spark, location: str):
+        self.spark = spark
+        self.location = location
+        self._log = os.path.join(location, "_snapshots.jsonl")
+
+    def commit_tier(self, tier: str, df: DataFrame | None, location: str,
+                    run_props: dict) -> str:
+        commit_id = uuid.uuid4().hex
+        os.makedirs(self.location, exist_ok=True)
+        rec = {
+            **{k: str(v) for k, v in run_props.items()},
+            "tier": tier,
+            "commit_id": commit_id,
+            "committed_at": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
+            "data_location": location,
+        }
+        tmp = self._log + f".{commit_id}.tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        # append via read-modify-write of the tail file list is overkill for
+        # a driver-side log; O_APPEND keeps concurrent tiers safe enough
+        with open(self._log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        os.remove(tmp)
+        return commit_id
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self._log):
+            return []
+        with open(self._log) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def committed(self, run_id: str, stage: str) -> bool:
+        return any(
+            s.get("run_id") == run_id and s.get("stage") == stage
+            for s in self.snapshots()
+        )
+
+    def read_tier(self, tier: str, data_location: str | None = None) -> DataFrame:
+        loc = data_location
+        if loc is None:
+            snaps = [s for s in self.snapshots() if s.get("tier") == tier]
+            if not snaps:
+                raise FileNotFoundError(f"no commit for tier={tier}")
+            loc = snaps[-1]["data_location"]
+        return self.spark.read.parquet(os.path.join(loc, "wave=*"))
+
+
+def tier_tables(spark, location: str, iceberg_table: str | None = None):
+    """Factory: Iceberg when the runtime is present (and a table identifier
+    is given), parquet+sidecar otherwise."""
+    if iceberg_table and iceberg_available(spark):
+        return IcebergTierTables(spark, iceberg_table)
+    return ParquetTierTables(spark, location)

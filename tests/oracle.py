@@ -136,7 +136,7 @@ def spine_pandas(rollup: pd.DataFrame, tier_seconds: int) -> pd.DataFrame:
 def fill_one(
     t_target, t_ref, v_ref, method, vg_str=None,
     idw_exp=5.0, n_neighbors=8, min_var_val_thresh=0.1, min_vg_val=1e-4,
-    ik_lim=1.0,
+    ik_lim=1.0, drift_ref=None, drift_tgt=None,
 ):
     """Fill a single gap — straight-line reference-formula version."""
     d_all = np.abs(np.asarray(t_ref, float) - float(t_target))
@@ -177,19 +177,30 @@ def fill_one(
             ev = max(0.0, float(total_sill - (lm * rhs).sum()))
             return est, ev, "ok"
         if method == "EDK":
-            t0 = float(np.asarray(t_ref, float).min())
-            drift = (tt - t0) / 86400.0
-            a = np.zeros((k + 2, k + 2))
+            # m external drifts -> m border rows/cols (pyx:588-719); the
+            # default single drift is linear time in days since first ref
+            if drift_ref is None:
+                t0 = float(np.asarray(t_ref, float).min())
+                dr = ((np.asarray(t_ref, float) - t0) / 86400.0)[:, None]
+                dt = np.array([(float(t_target) - t0) / 86400.0])
+            else:
+                dr = np.asarray(drift_ref, float)
+                dr = dr[:, None] if dr.ndim == 1 else dr
+                dt = np.atleast_1d(np.asarray(drift_tgt, float))
+            m = dr.shape[1]
+            dr_nb = dr[nb]
+            a = np.zeros((k + 1 + m, k + 1 + m))
             a[:k, :k] = gam
             a[k, :k] = 1.0
             a[:k, k] = 1.0
-            a[k + 1, :k] = drift
-            a[:k, k + 1] = drift
+            for q in range(m):
+                a[k + 1 + q, :k] = dr_nb[:, q]
+                a[:k, k + 1 + q] = dr_nb[:, q]
             inv = np.linalg.pinv(a)
-            rhs = np.zeros(k + 2)
+            rhs = np.zeros(k + 1 + m)
             rhs[:k] = vg_eval(vg_str, dists)
             rhs[k] = 1.0
-            rhs[k + 1] = (float(t_target) - t0) / 86400.0
+            rhs[k + 1:] = dt
             lm = inv @ rhs
             if not np.isclose(lm[:k].sum(), 1.0):
                 return float(zs[np.argmin(dists)]), 0.0, "nnb_fallback"
@@ -217,7 +228,8 @@ def fill_one(
 
 
 def fill_series_oracle(
-    t, v, method, vg_str=None, round_p=2, min_cut=None, max_cut=None, **kw
+    t, v, method, vg_str=None, round_p=2, min_cut=None, max_cut=None,
+    drifts=None, **kw
 ):
     t = np.asarray(t, float)
     v = np.asarray(v, float)
@@ -225,7 +237,12 @@ def fill_series_oracle(
     evs = np.zeros_like(v)
     codes = np.array(["observed"] * len(v), dtype=object)
     refs = ~np.isnan(v)
+    if drifts is not None:
+        drifts = np.asarray(drifts, float)
+        drifts = drifts[:, None] if drifts.ndim == 1 else drifts
     for j in np.flatnonzero(np.isnan(v)):
+        if drifts is not None:
+            kw = {**kw, "drift_ref": drifts[refs], "drift_tgt": drifts[j]}
         est, ev, code = fill_one(t[j], t[refs], v[refs], method, vg_str, **kw)
         if code != "unfillable":
             if min_cut is not None:

@@ -102,6 +102,26 @@ def test_single_ref_and_low_signal():
     assert out[1] == np.round(np.mean([0.01, 0.02]), 2)
 
 
+def test_p5_limit_to_nan_refills_outliers():
+    """P5 (utils/lmt_and_infil_nc.py:459-502): observations outside
+    [nan_llm, nan_ulm] become gaps and are refilled — distinct from the P4
+    clamp, which only clips interpolated values."""
+    t = np.arange(10, dtype=np.int64) * 3600
+    v = np.full(10, 5.0)
+    v[3] = 99.0   # above ulm -> nulled + refilled
+    v[7] = -4.0   # below llm -> nulled + refilled
+    out, _, codes = G.fill_series(
+        t, v, method="IDW", nan_llm=0.0, nan_ulm=50.0, round_p=2
+    )
+    assert codes[3] == "idw" and codes[7] == "idw"
+    assert out[3] == 5.0 and out[7] == 5.0
+    # in-range values untouched
+    assert (out[codes == "observed"] == 5.0).all()
+    # without the knob, outliers are kept as observations
+    out2, _, codes2 = G.fill_series(t, v, method="IDW")
+    assert codes2[3] == "observed" and out2[3] == 99.0
+
+
 def test_idw_within_neighbor_range():
     # property: IDW estimate lies within [min, max] of neighbors
     rng = np.random.RandomState(0)
@@ -130,5 +150,39 @@ def test_chunked_equals_unchunked(spark):
     assert len(a) == len(b)
     ga, gb = a["value_filled"].to_numpy(), b["value_filled"].to_numpy()
     same = (ga == gb) | (np.isnan(ga) & np.isnan(gb))
-    # pad horizon (64 buckets) >> neighbor count (8): chunked must be exact
+    # rank-based chunk membership: chunked must be exact
     assert same.all()
+
+
+def test_chunked_exact_across_hole_longer_than_chunk(spark):
+    """ADVICE r1 (medium): a silence hole longer than the chunk span left
+    whole chunks ref-less ('unfillable') and lost true k-nearest refs near
+    hole edges under the fixed pad. Rank-based membership must make the
+    chunked fill bit-identical to the unchunked one."""
+    import pandas as pd
+
+    hours = np.concatenate([np.arange(0, 100), np.arange(700, 800)])
+    t = pd.to_datetime(hours * 3600, unit="s")
+    rng = np.random.RandomState(4)
+    v = np.round(rng.uniform(5, 20, len(hours)), 2)
+    base = pd.DataFrame({"conv_id": "c1", "bucket_ts": t, "v": v})
+    # materialized spine over the full range, hole rows = NULL
+    spine = pd.DataFrame(
+        {"conv_id": "c1", "bucket_ts": pd.to_datetime(np.arange(800) * 3600, unit="s")}
+    )
+    spined_pdf = spine.merge(base, on=["conv_id", "bucket_ts"], how="left")
+    spined = spark.createDataFrame(spined_pdf)
+
+    a = (
+        G.gapfill(spined, "v", method="IDW", tier="1h")
+        .toPandas().sort_values("bucket_ts").reset_index(drop=True)
+    )
+    # chunk span (256h) < hole length (600h): chunks 1 and 2 lie inside it
+    b = (
+        G.gapfill(spined, "v", method="IDW", tier="1h", chunk_buckets=256)
+        .toPandas().sort_values("bucket_ts").reset_index(drop=True)
+    )
+    assert len(a) == len(b) == 800
+    assert not (b["fill_method"] == "unfillable").any()
+    assert (a["value_filled"].to_numpy() == b["value_filled"].to_numpy()).all()
+    assert (a["fill_method"].to_numpy() == b["fill_method"].to_numpy()).all()

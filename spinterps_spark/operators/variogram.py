@@ -299,6 +299,30 @@ def fit_vg_models_nbest(lags, gammas, n_pairs=None, n_best=3, **kw):
 
 
 FIT_SCHEMA = "cluster_id int, vg_str string, aic double, n_bins int"
+FIT_NBEST_SCHEMA = "cluster_id int, rank int, vg_str string, aic double"
+
+
+def fit_cluster_variograms_nbest(evg: DataFrame, n_best: int = 3, seed: int = 1) -> DataFrame:
+    """T4 n-best fits surfaced as a dim table: the reference's FitVariograms
+    keeps the n best models by AIC per entity (variograms/vgs.py:809-818,
+    per-step table fitvgs.py:95-114); here per cluster, ranked ascending."""
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin")
+        res = fit_vg_models_nbest(
+            pdf["lag"].to_numpy(), pdf["gamma"].to_numpy(),
+            pdf["n_pairs"].to_numpy(), n_best=n_best, seed=seed,
+        )
+        return pd.DataFrame(
+            {
+                "cluster_id": int(pdf["cluster_id"].iloc[0]),
+                "rank": np.arange(1, len(res) + 1, dtype=np.int32),
+                "vg_str": [s for _a, s in res],
+                "aic": [a for a, _s in res],
+            }
+        )
+
+    return evg.groupBy("cluster_id").applyInPandas(fit_group, schema=FIT_NBEST_SCHEMA)
 
 
 def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:

@@ -848,6 +848,34 @@ FROM tiled GROUP BY 1, 2
 """
 
 
+def q_cumulative_turns(spark, sf_dir) -> DataFrame:
+    """W4 cumulative sums: running turn/token totals per conversation over
+    the 1h rollup (running lineage accounting; r1 claimed W4 without a
+    real use — this is the oracled one)."""
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    w = W.partitionBy("conv_id").orderBy("bucket_ts").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return h1.select(
+        "conv_id", "bucket_ts",
+        F.sum("turn_cnt").over(w).alias("cum_turns"),
+        F.sum("tok_len_sum").over(w).alias("cum_tokens"),
+    )
+
+
+SQL_CUMULATIVE_TURNS = (
+    _SQL_H1
+    + """
+SELECT conv_id, bucket_ts,
+       CAST(sum(s1) OVER (PARTITION BY conv_id ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_turns,
+       CAST(sum(s2) OVER (PARTITION BY conv_id ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+FROM h1p
+"""
+)
+
+
 def q_config_hash_groups(spark, sf_dir) -> DataFrame:
     """A14 distinct station-config grouping: hash of the sorted active
     conversation set per bucket groups buckets sharing a config
@@ -1161,6 +1189,21 @@ def q_variogram_fit_dim(spark, sf_dir) -> DataFrame:
     return V.fit_cluster_variograms(evg)
 
 
+def q_variogram_nbest_dim(spark, sf_dir) -> DataFrame:
+    """T4 n-best fits by AIC per cluster (variograms/vgs.py:809-818 +
+    per-step table fitvgs.py:95-114); rows-only — DE optimizer."""
+    from spinterps_spark.operators import variogram as V
+
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    ser = h1.select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
+    )
+    coords = fixtures.load_coords(_utc(spark), sf_dir)
+    evg = V.empirical_variogram(ser, coords, "v", estimator="mean")
+    return V.fit_cluster_variograms_nbest(evg, n_best=3)
+
+
 SIMHASH_MAX_HAMMING = 6
 
 
@@ -1458,6 +1501,7 @@ QUERIES = {
     "asof_nnb_infill": (q_asof_nnb_infill, lambda: SQL_ASOF_NNB),
     "evg_ntile_bins": (q_evg_ntile_bins, lambda: SQL_EVG_NTILE.format(tp=_tp(), cp=_cp())),
     "config_hash_groups": (q_config_hash_groups, lambda: SQL_CONFIG_HASH.format(tp=_tp())),
+    "cumulative_turns": (q_cumulative_turns, lambda: SQL_CUMULATIVE_TURNS.format(tp=_tp())),
     "ecdf_ranks": (q_ecdf_ranks, lambda: SQL_ECDF.format(tp=_tp(), cp=_cp())),
     "ecdf_interp_lookup": (q_ecdf_interp_lookup, lambda: SQL_ECDF_INTERP.format(tp=_tp(), cp=_cp())),
     "gapfill_idw_knn": (q_gapfill_idw_knn, lambda: SQL_GAPFILL_IDW_KNN.format(tp=_tp())),
@@ -1475,6 +1519,7 @@ QUERIES = {
     "gapfill_edk_multi": (q_gapfill_edk_multi, None),
     "gapfill_ik": (q_gapfill_ik, None),
     "variogram_fit_dim": (q_variogram_fit_dim, None),
+    "variogram_nbest_dim": (q_variogram_nbest_dim, None),
 }
 
 

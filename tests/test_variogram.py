@@ -56,11 +56,42 @@ def test_empirical_variogram_matches_pandas(spark, series, coords):
     assert np.allclose(got["lag"], want["lag"], rtol=1e-12)
 
 
-def test_classic_estimator_is_median(spark, series, coords):
-    classic = V.empirical_variogram(series, coords, "v", estimator="classic")
-    assert "gamma" in classic.columns
-    pdf = classic.toPandas()
-    assert len(pdf) > 0 and (pdf["gamma"] >= 0).all()
+def test_classic_estimator_is_median_of_raw_sq(spark):
+    """ADVICE r1 (low): reference evg_classic (vgs.py:410) is the median of
+    the RAW squared diffs — no 1/2 factor. One conv, one bin, known values."""
+    ts = pd.to_datetime(np.arange(4) * 600, unit="s")
+    pdf = pd.DataFrame({"conv_id": "c", "bucket_ts": ts, "v": [1.0, 2.0, 4.0, 8.0]})
+    ser = spark.createDataFrame(pdf)
+    crd = spark.createDataFrame([("c", 0)], "conv_id string, cluster_id int")
+    out = (
+        V.empirical_variogram(ser, crd, "v", max_lag=3600, lag_width=3600,
+                              estimator="classic")
+        .toPandas()
+    )
+    # all 6 pairs land in bin 0; raw sq diffs: 1,9,49,4,36,16 -> median 12.5
+    assert len(out) == 1
+    assert out["gamma"].iloc[0] == 12.5
+
+    # mean estimator = sum/(2n) form: 0.5 * mean(raw sq) = 115/12
+    mean_out = V.empirical_variogram(ser, crd, "v", max_lag=3600,
+                                     lag_width=3600, estimator="mean").toPandas()
+    assert np.isclose(mean_out["gamma"].iloc[0], 0.5 * 115 / 6, rtol=1e-12)
+
+
+def test_p10_drop_zeros_filters_zero_pairs(spark):
+    """P10 (variograms/fitvgs.py:164-177 drop_zeros_flag): zero squared
+    diffs are dropped from the pair pool before binning."""
+    ts = pd.to_datetime(np.arange(4) * 600, unit="s")
+    pdf = pd.DataFrame({"conv_id": "c", "bucket_ts": ts, "v": [3.0, 3.0, 3.0, 7.0]})
+    ser = spark.createDataFrame(pdf)
+    crd = spark.createDataFrame([("c", 0)], "conv_id string, cluster_id int")
+    keep = V.empirical_variogram(ser, crd, "v", max_lag=3600, lag_width=3600,
+                                 estimator="mean").toPandas()
+    drop = V.empirical_variogram(ser, crd, "v", max_lag=3600, lag_width=3600,
+                                 estimator="mean", drop_zeros=True).toPandas()
+    assert keep["n_pairs"].iloc[0] == 6
+    assert drop["n_pairs"].iloc[0] == 3  # the three (3,7) pairs survive
+    assert np.isclose(drop["gamma"].iloc[0], 0.5 * 16.0, rtol=1e-12)
 
 
 def test_smooth_monotone_normalize(spark, series, coords):

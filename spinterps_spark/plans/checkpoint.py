@@ -151,9 +151,9 @@ def run_waved_pass(
     one_pass=True (default): ONE source scan — all pending waves run as a
     single job whose output is written partitionBy(wave) with dynamic
     partition overwrite (done-wave directories untouched). Per-wave lineage
-    metrics come from a columnar re-read of the written files, which is far
-    cheaper than the r1 design's per-wave recomputation of the upstream
-    DataFrame (n_waves input scans). Requires `transform` to be
+    metrics ride the write job via per-wave conditional Observation
+    aggregates — no re-read, no per-wave recomputation of the upstream
+    DataFrame (the r1 design cost n_waves input scans). Requires `transform` to be
     conversation-local (true for every tier pass: rollups/gap-fill group by
     conv_id), since transform(union of waves) must equal union of per-wave
     transforms. Crash mid-job -> no lineage rows -> all pending waves redo.
@@ -176,6 +176,28 @@ def run_waved_pass(
         t0 = time.time()
         sub = src.where(F.col("_wave").isin(pending)).drop("_wave")
         out = transform(sub).withColumn("wave", wave_col(n_waves))
+        # per-wave lineage metrics ride the write job itself: one
+        # conditional (cnt, checksum) aggregate pair per pending wave on an
+        # Observation — no re-read of the written output (keeps the
+        # one-source-scan property this mode exists for).
+        cols = checksum_cols or [c for c in out.columns if c != "wave"]
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        obs = Observation(f"{tier}-onepass")
+        aggs = []
+        for w in pending:
+            is_w = F.col("wave") == w
+            aggs.append(
+                F.sum(F.when(is_w, 1).otherwise(0)).alias(f"cnt{w}")
+            )
+            aggs.append(
+                F.pmod(
+                    F.coalesce(
+                        F.sum(F.when(is_w, h).cast("decimal(38,0)")), F.lit(0)
+                    ),
+                    F.lit(2**62),
+                ).cast("long").alias(f"chk{w}")
+            )
+        out = out.observe(obs, *aggs)
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -183,18 +205,9 @@ def run_waved_pass(
             .parquet(out_dir)
         )
         wall = time.time() - t0
-        outdf = spark.read.parquet(out_dir).where(F.col("wave").isin(pending))
-        cols = checksum_cols or [c for c in outdf.columns if c != "wave"]
-        h = F.xxhash64(*[F.col(c) for c in cols])
+        ostats = obs.get
         stats = {
-            r["wave"]: (r["cnt"], r["checksum"])
-            for r in outdf.groupBy("wave").agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.pmod(
-                    F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)),
-                    F.lit(2**62),
-                ).cast("long").alias("checksum"),
-            ).collect()
+            w: (ostats[f"cnt{w}"], ostats[f"chk{w}"]) for w in pending
         }
         rows_in = {}
         if count_input:

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--turns", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", 2_000_000)))
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--fourn", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", 1)),
+                    help="legs per parallelism level; best throughput kept "
+                    "(this VM shows transient hypervisor steal up to ~14%% — "
+                    "documented in BASELINE.md; best-of filters it)")
     args = ap.parse_args()
 
     zip_path = subprocess.run(
@@ -87,8 +91,15 @@ def main():
         check=True, capture_output=True, text=True,
     )
 
-    m_n = run_once(args.n, input_dir, zip_path, args.turns)
-    m_4n = run_once(args.fourn, input_dir, zip_path, args.turns)
+    def best_of(cpus: int) -> dict:
+        runs = [run_once(cpus, input_dir, zip_path, args.turns)
+                for _ in range(max(args.runs, 1))]
+        best = max(runs, key=lambda m: m["points_per_sec"])
+        best["all_points_per_sec"] = [round(m["points_per_sec"], 1) for m in runs]
+        return best
+
+    m_n = best_of(args.n)
+    m_4n = best_of(args.fourn)
     shutil.rmtree(input_dir, ignore_errors=True)
 
     thr_n = m_n["points_per_sec"]
@@ -128,6 +139,10 @@ sandbox substitute for N vs 4N executors.
 | exactness gate | enforced by pytest oracle suite (tests/) | bit-for-bit vs NumPy oracle |
 
 Pipeline wall: {m_n['wall_sec']:.1f}s @ local[{args.n}], {m_4n['wall_sec']:.1f}s @ local[{args.fourn}].
+Runs per leg: {args.runs} (best-of kept; all throughputs
+local[{args.n}]={m_n.get('all_points_per_sec')},
+local[{args.fourn}]={m_4n.get('all_points_per_sec')} — this VM shows
+transient hypervisor steal; single-shot legs can vary ±20%).
 """
         )
 

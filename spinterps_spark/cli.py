@@ -56,11 +56,14 @@ def cmd_rollup(args) -> int:
         transcripts = spark.read.table(args.input)
     else:
         transcripts = reader.parquet(args.input)
-    coords = vg_dim = None
+    coords = vg_dim = drift = None
     if args.coords:
         coords = spark.read.parquet(args.coords)
     if args.vg_dim:
         vg_dim = spark.read.parquet(args.vg_dim)
+    drift_cols = args.drift_cols.split(",") if args.drift_cols else None
+    if args.drift:
+        drift = spark.read.parquet(args.drift)
     metrics = run_retention_pipeline(
         spark,
         transcripts,
@@ -74,6 +77,10 @@ def cmd_rollup(args) -> int:
         run_id=args.resume,
         fill_knobs={"chunk_buckets": args.chunk_buckets, "pad_buckets": args.pad_buckets},
         fuse_fill_and_chunks=not args.materialize_filled,
+        iceberg_table=args.iceberg_table,
+        drift=drift,
+        drift_cols=drift_cols,
+        one_pass=not args.per_wave,
     )
     print(json.dumps(metrics))
     return 0
@@ -104,10 +111,31 @@ def cmd_fit_variograms(args) -> int:
         "conv_id", "bucket_ts",
         (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
     )
-    evg = V.empirical_variogram(ser, coords, "v", estimator=args.estimator)
+    evg = V.empirical_variogram(
+        ser, coords, "v", estimator=args.estimator, drop_zeros=args.drop_zeros
+    )
     dim = V.fit_cluster_variograms(evg)
     dim.write.mode("overwrite").parquet(args.out)
+    if args.n_best:
+        V.fit_cluster_variograms_nbest(evg, n_best=args.n_best).write.mode(
+            "overwrite"
+        ).parquet(args.out + "_nbest")
     print(json.dumps({"out": args.out, "clusters": dim.count()}))
+    return 0
+
+
+def cmd_snip(args) -> int:
+    from spinterps_spark.sources.snip import snip
+
+    spark = _spark("spinterps_spark.snip")
+    src = spark.read.parquet(args.input)
+    path = snip(
+        src, args.out,
+        columns=args.columns.split(",") if args.columns else None,
+        where=args.where,
+        partition_by=tuple(args.partition_by.split(",")) if args.partition_by else (),
+    )
+    print(json.dumps({"out": path}))
     return 0
 
 
@@ -134,6 +162,18 @@ def main(argv=None) -> int:
     )
     r.add_argument("--pad-buckets", type=int, default=64)
     r.add_argument("--resume", default=None, help="run_id to resume")
+    r.add_argument("--iceberg-table", default=None,
+                   help="tier table identifier (catalog.db.table); used when "
+                   "the Iceberg runtime is on the classpath, else the "
+                   "parquet+snapshot-sidecar seam")
+    r.add_argument("--drift", default=None,
+                   help="parquet of (conv_id, bucket_ts, <drift cols>) EDK "
+                   "covariates; implies --materialize-filled")
+    r.add_argument("--drift-cols", default=None,
+                   help="comma-separated drift column names in --drift")
+    r.add_argument("--per-wave", action="store_true",
+                   help="run each wave as its own job (blast-radius "
+                   "isolation) instead of the one-pass partitioned write")
     r.set_defaults(fn=cmd_rollup)
 
     s = sub.add_parser("synth", help="generate deterministic transcripts")
@@ -147,8 +187,20 @@ def main(argv=None) -> int:
     f.add_argument("--coords", required=True)
     f.add_argument("--tier", default="1h")
     f.add_argument("--estimator", default="classic", choices=["classic", "mean"])
+    f.add_argument("--drop-zeros", action="store_true",
+                   help="P10: drop zero-squared-diff pairs before binning")
+    f.add_argument("--n-best", type=int, default=0,
+                   help="also write the n-best ranked fits dim (T4)")
     f.add_argument("--out", required=True)
     f.set_defaults(fn=cmd_fit_variograms)
+
+    sn = sub.add_parser("snip", help="S9 pruned CTAS: column/row subset")
+    sn.add_argument("--input", required=True)
+    sn.add_argument("--out", required=True)
+    sn.add_argument("--columns", default=None, help="comma-separated subset")
+    sn.add_argument("--where", default=None, help="SQL predicate")
+    sn.add_argument("--partition-by", default=None, help="comma-separated")
+    sn.set_defaults(fn=cmd_snip)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -325,11 +325,16 @@ def encode_tier_chunks(filled: DataFrame_or_any, tier: str, value_col: str = "va
 
 
 def decode_tier_chunks(chunks):
-    """Inverse of encode_tier_chunks via mapInPandas (verification read)."""
+    """Inverse of encode_tier_chunks via mapInPandas (verification read).
+    Decoded arrays are accumulated and emitted as ONE frame per Arrow batch
+    (np.concatenate + np.repeat) instead of a per-chunk DataFrame build."""
 
     def expand(batches):
         for pdf in batches:
-            frames = []
+            if not len(pdf):
+                continue
+            ts_parts, val_parts = [], []
+            ns = pdf["n"].to_numpy(np.int64)
             for row in pdf.itertuples(index=False):
                 ts, vals = decode_chunk(
                     {
@@ -340,18 +345,16 @@ def decode_tier_chunks(chunks):
                         "vals_xor": row.vals_xor,
                     }
                 )
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row.conv_id,
-                            "tier": row.tier,
-                            "bucket_ts": pd.to_datetime(ts, unit="s"),
-                            "value": vals,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                ts_parts.append(ts)
+                val_parts.append(vals)
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
+                    "tier": np.repeat(pdf["tier"].to_numpy(), ns),
+                    "bucket_ts": pd.to_datetime(np.concatenate(ts_parts), unit="s"),
+                    "value": np.concatenate(val_parts),
+                }
+            )
 
     return chunks.mapInPandas(
         expand, schema="conv_id string, tier string, bucket_ts timestamp, value double"

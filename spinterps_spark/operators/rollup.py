@@ -30,13 +30,14 @@ from spinterps_spark import METRIC_COLS, TIER_SECONDS
 DEFAULT_MIN_CNT = {"1m": 1, "1h": 1, "1d": 1}
 
 
-def bucket_ts_col(ts_col, tier: str):
+def bucket_ts_col(ts_col, tier: str, shift_seconds: int = 0):
     """Tier-aligned bucket timestamp (epoch-truncated, timezone-free math
-    so it is reproducible in any SQL engine)."""
+    so it is reproducible in any SQL engine). shift_seconds is the
+    reference's `tme_dla` time-delta: the series is shifted BEFORE
+    bucketing (utils/rsmp_nc_in_time.py:276-277)."""
     secs = TIER_SECONDS[tier]
-    return F.timestamp_seconds(
-        (F.unix_timestamp(ts_col) / secs).cast("long") * secs
-    )
+    epoch = F.unix_timestamp(ts_col) + F.lit(int(shift_seconds))
+    return F.timestamp_seconds((epoch / secs).cast("long") * secs)
 
 
 def base_rollup(
@@ -44,6 +45,7 @@ def base_rollup(
     tier: str = "1m",
     n_salt: int = 16,
     min_cnt: int | None = None,
+    shift_seconds: int = 0,
 ) -> DataFrame:
     """Raw turns -> base-tier aggregates via salted two-phase aggregation.
 
@@ -56,7 +58,7 @@ def base_rollup(
     t = transcripts
     enriched = t.select(
         "conv_id",
-        bucket_ts_col(F.col("ts"), tier).alias("bucket_ts"),
+        bucket_ts_col(F.col("ts"), tier, shift_seconds).alias("bucket_ts"),
         F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salt)).alias("_salt"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("_tok_len"),
         F.col("tool").isNotNull().cast("long").alias("_is_tool_call"),
@@ -131,6 +133,34 @@ def rollup_tier(lower: DataFrame, to_tier: str, min_cnt: int | None = None) -> D
         for c in METRIC_COLS
     ]
     return up.select("conv_id", "bucket_ts", *metric_exprs, "valid")
+
+
+def rollup_month(lower_1d: DataFrame, min_cnt: int | str = "days_in_month") -> DataFrame:
+    """A2 month rule (utils/rsmp_nc_in_time.py:306-311): a calendar-month
+    bucket is valid only when min_cnt lower-tier days contributed, where the
+    reference's monthly min count is the NUMBER OF DAYS IN THAT MONTH (i.e.
+    a complete month) — per-bucket, not a constant. min_cnt may also be an
+    int for a fixed threshold. Input is the 1d tier."""
+    valid_rows = lower_1d.where(F.col("valid"))
+    up = valid_rows.groupBy(
+        "conv_id", F.date_trunc("month", "bucket_ts").alias("bucket_ts")
+    ).agg(
+        *[F.sum(c).alias(c) for c in METRIC_COLS],
+        F.count(F.lit(1)).alias("_n_lower"),
+    )
+    need = (
+        F.dayofmonth(F.last_day("bucket_ts"))
+        if min_cnt == "days_in_month" else F.lit(int(min_cnt))
+    )
+    up = up.withColumn("valid", F.col("_n_lower") >= need)
+    metric_exprs = [
+        F.when(F.col("valid"), F.col(c)).otherwise(F.lit(None)).alias(c)
+        for c in METRIC_COLS
+    ]
+    return up.select(
+        "conv_id", "bucket_ts", *metric_exprs,
+        F.col("_n_lower").alias("n_days"), "valid",
+    )
 
 
 def derived_metrics(rollup: DataFrame) -> DataFrame:

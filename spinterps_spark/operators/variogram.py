@@ -45,43 +45,52 @@ def empirical_variogram(
     lag_width: float = 3600.0,
     estimator: str = "classic",
     drop_zeros: bool = False,
+    regime_col: str | None = None,
 ) -> DataFrame:
     """(conv_id, bucket_ts, value) + (conv_id, cluster_id) ->
-    (cluster_id, bin, lag, gamma, n_pairs).
+    (cluster_id[, regime], bin, lag, gamma, n_pairs).
 
     estimator='classic': median of raw squared diffs (reference vgs.py:410).
     estimator='mean': 0.5 * mean of squared diffs (the sum/(2n) form).
     drop_zeros (P10): drop pairs with zero squared diff before binning.
+    regime_col: optional time-regime column on `series` (e.g. month of
+    bucket_ts); pairs are formed WITHIN a regime and pooled per
+    (cluster, regime) — the per-step variogram-table analog of the
+    reference's FitVariograms (variograms/fitvgs.py:95-114).
 
     Scale note: the self-join is per conversation and lag-bounded, so pair
     count is O(rows * buckets_per_horizon), not O(rows^2); the join key is
     conv_id (co-partitioned by the rollup shuffle).
     """
+    regime = [F.col(regime_col).alias("regime")] if regime_col else []
     s = series.select(
         "conv_id",
         F.unix_timestamp("bucket_ts").alias("t"),
         F.col(value_col).cast("double").alias("z"),
+        *regime,
     ).where(F.col(value_col).isNotNull())
     s = s.join(F.broadcast(coords.select("conv_id", "cluster_id")), "conv_id")
 
     a, b = s.alias("a"), s.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.conv_id") == F.col("b.conv_id"))
-            & (F.col("a.t") < F.col("b.t"))
-            & (F.col("b.t") - F.col("a.t") <= max_lag),
-        )
-        .select(
-            F.col("a.cluster_id").alias("cluster_id"),
-            (F.col("b.t") - F.col("a.t")).cast("double").alias("h"),
-            ((F.col("a.z") - F.col("b.z")) ** 2).alias("sq"),
-        )
+    cond = (
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.t") < F.col("b.t"))
+        & (F.col("b.t") - F.col("a.t") <= max_lag)
+    )
+    if regime_col:
+        cond = cond & (F.col("a.regime") == F.col("b.regime"))
+    pairs = a.join(b, cond).select(
+        F.col("a.cluster_id").alias("cluster_id"),
+        *( [F.col("a.regime").alias("regime")] if regime_col else [] ),
+        (F.col("b.t") - F.col("a.t")).cast("double").alias("h"),
+        ((F.col("a.z") - F.col("b.z")) ** 2).alias("sq"),
     )
     if drop_zeros:
         pairs = pairs.where(F.col("sq") != 0.0)
     binned = pairs.groupBy(
-        "cluster_id", F.floor(F.col("h") / lag_width).alias("bin")
+        "cluster_id",
+        *( ["regime"] if regime_col else [] ),
+        F.floor(F.col("h") / lag_width).alias("bin"),
     )
     if estimator == "classic":
         # reference 'classic' = median of RAW squared diffs (vgs.py:410)
@@ -103,6 +112,53 @@ def empirical_variogram(
     else:
         raise NotImplementedError(estimator)
     return agg
+
+
+def auto_lag_width(
+    series: DataFrame,
+    coords: DataFrame,
+    value_col: str,
+    candidates: tuple[float, ...] = (900.0, 1800.0, 3600.0, 7200.0, 14400.0),
+    max_lag: float = 48 * 3600,
+    min_pairs: int = 30,
+) -> float:
+    """A5 auto lag search (reference variograms/vgs.py:522-551 searches the
+    lag distance before binning): pick the SMALLEST candidate width whose
+    bins over [0, max_lag) are all populated with >= min_pairs pairs —
+    finest resolution that still gives statistically meaningful bins.
+    Falls back to the largest candidate.
+
+    Spark-first: ONE pair-join pass evaluates every candidate (each pair
+    explodes into (candidate, bin) memberships; one groupBy); the driver
+    loop only inspects the tiny (candidate, n_bins, min_pairs) summary.
+    """
+    s = series.select(
+        "conv_id",
+        F.unix_timestamp("bucket_ts").alias("t"),
+    ).where(F.col(value_col).isNotNull())
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.t") < F.col("b.t"))
+        & (F.col("b.t") - F.col("a.t") <= max_lag),
+    ).select((F.col("b.t") - F.col("a.t")).cast("double").alias("h"))
+    cand = F.array(*[F.lit(float(w)) for w in candidates])
+    binned = pairs.select(
+        F.explode(cand).alias("w"), F.col("h")
+    ).groupBy("w", F.floor(F.col("h") / F.col("w")).alias("bin")).count()
+    summary = {
+        r["w"]: (r["n_bins"], r["min_pairs"])
+        for r in binned.groupBy("w").agg(
+            F.count(F.lit(1)).alias("n_bins"), F.min("count").alias("min_pairs")
+        ).collect()
+    }
+    for w in sorted(candidates):
+        n_bins, mp = summary.get(float(w), (0, 0))
+        want_bins = int(max_lag // w)
+        if n_bins >= want_bins and mp >= min_pairs:
+            return float(w)
+    return float(max(candidates))
 
 
 def smooth_and_monotone(evg: DataFrame, smooth_window: int = 3) -> DataFrame:
@@ -326,9 +382,16 @@ def fit_cluster_variograms_nbest(evg: DataFrame, n_best: int = 3, seed: int = 1)
 
 
 def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:
-    """One K6 fit per cluster via applyInPandas -> vg dim
-    (cluster_id, vg_str, aic, n_bins): the weight model reused across
-    buckets (reference O2 rewrite)."""
+    """One K6 fit per cluster (or per (cluster, regime) when the evg was
+    built with regime_col — the per-step variogram table analog) via
+    applyInPandas -> vg dim: the weight model reused across buckets
+    (reference O2 rewrite)."""
+    with_regime = "regime" in evg.columns
+    keys = ["cluster_id"] + (["regime"] if with_regime else [])
+    schema = (
+        "cluster_id int, regime string, vg_str string, aic double, n_bins int"
+        if with_regime else FIT_SCHEMA
+    )
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bin")
@@ -338,16 +401,17 @@ def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:
             pdf["n_pairs"].to_numpy(),
             seed=seed,
         )
-        return pd.DataFrame(
-            {
-                "cluster_id": [int(pdf["cluster_id"].iloc[0])],
-                "vg_str": [vg],
-                "aic": [aic],
-                "n_bins": [len(pdf)],
-            }
-        )
+        row = {
+            "cluster_id": [int(pdf["cluster_id"].iloc[0])],
+            "vg_str": [vg],
+            "aic": [aic],
+            "n_bins": [len(pdf)],
+        }
+        if with_regime:
+            row["regime"] = [pdf["regime"].iloc[0]]
+        return pd.DataFrame(row)
 
-    return evg.groupBy("cluster_id").applyInPandas(fit_group, schema=FIT_SCHEMA)
+    return evg.groupBy(*keys).applyInPandas(fit_group, schema=schema)
 
 
 # ------------------------------------------------------ K7: KS clustering

@@ -172,6 +172,44 @@ def run_waved_pass(
     if not pending:
         return spark.read.parquet(os.path.join(out_dir, "wave=*"))
 
+    if one_pass and len(pending) == 1:
+        # single pending wave (fresh n_waves=1 runs, or a resume with one
+        # wave left): write straight into its wave directory — the
+        # partitionBy(wave) path below costs a full sort of the output by
+        # the partition column (measured ~13% of pipeline wall at 19.6M
+        # turns) for no benefit when only one partition value exists.
+        w = pending[0]
+        t0 = time.time()
+        sub = (
+            src.where(F.col("_wave") == w).drop("_wave")
+            if n_waves > 1 else src.drop("_wave")
+        )
+        out = transform(sub)
+        cols = checksum_cols or list(out.columns)
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        obs = Observation(f"{tier}-w{w}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.pmod(
+                F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)),
+                F.lit(2**62),
+            ).cast("long").alias("checksum"),
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"wave={w}"))
+        stats = obs.get
+        ckpt.append(
+            dict(
+                run_id=run_id, tier=tier, wave=w, n_waves=n_waves,
+                status="done",
+                rows_in=sub.count() if count_input else -1,
+                rows_out=stats["cnt"],
+                checksum=stats["checksum"] if stats["checksum"] is not None else 0,
+                wall_sec=time.time() - t0,
+            )
+        )
+        return spark.read.parquet(os.path.join(out_dir, "wave=*"))
+
     if one_pass:
         t0 = time.time()
         sub = src.where(F.col("_wave").isin(pending)).drop("_wave")

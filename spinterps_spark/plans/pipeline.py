@@ -45,6 +45,9 @@ def run_retention_pipeline(
     fuse_fill_and_chunks: bool = False,
     table_format=None,
     iceberg_table: str | None = None,
+    drift: DataFrame | None = None,
+    drift_cols: list[str] | None = None,
+    one_pass: bool = True,
 ) -> dict:
     """Run (or resume) the full tier cascade. Returns a metrics dict.
 
@@ -61,6 +64,13 @@ def run_retention_pipeline(
     parquet + _snapshots.jsonl metadata commits otherwise. Resume first
     consults the snapshot log (whole-tier skip), then the wave checkpoints
     (partial-tier skip)."""
+    if drift is not None and fuse_fill_and_chunks:
+        raise ValueError(
+            "external drift columns need the materialized fill path "
+            "(fuse_fill_and_chunks=False): the virtual spine generates gap "
+            "grid points inside the kernel, where joined covariates do not "
+            "exist"
+        )
     run_id = run_id or new_run_id()
     ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
     fmt = table_format or tier_tables(
@@ -101,7 +111,7 @@ def run_retention_pipeline(
         else:
             rolled = run_waved_pass(
                 spark, src, make, tier_loc,
-                ckpt, run_id, stage, n_waves=n_waves,
+                ckpt, run_id, stage, n_waves=n_waves, one_pass=one_pass,
             )
             fmt.commit_tier(tier, rolled, tier_loc,
                             {**run_props, "stage": stage})
@@ -128,7 +138,7 @@ def run_retention_pipeline(
             run_waved_pass(
                 spark, valid_ser, fill_chunk,
                 os.path.join(out_dir, f"chunks/tier={tier}"),
-                ckpt, run_id, f"chunks:{tier}", n_waves=n_waves,
+                ckpt, run_id, f"chunks:{tier}", n_waves=n_waves, one_pass=one_pass,
             )
         else:
             spined = with_spine(rolled, tier)
@@ -136,15 +146,22 @@ def run_retention_pipeline(
                 "conv_id", "bucket_ts",
                 (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
             )
+            if drift is not None:
+                from spinterps_spark.operators.gapfill import with_drift
+
+                ser = with_drift(ser, drift, drift_cols or [])
+
             def fill(sub, _tier=tier):
                 return gapfill(
                     sub, fill_metric, method=fill_method, tier=_tier,
-                    coords=coords, vg_dim=vg_dim, **fill_knobs,
+                    coords=coords, vg_dim=vg_dim,
+                    drift_cols=drift_cols if drift is not None else None,
+                    **fill_knobs,
                 )
 
             filled = run_waved_pass(
                 spark, ser, fill, os.path.join(out_dir, f"filled/tier={tier}"),
-                ckpt, run_id, f"filled:{tier}", n_waves=n_waves,
+                ckpt, run_id, f"filled:{tier}", n_waves=n_waves, one_pass=one_pass,
             )
 
             if gorilla:
@@ -155,7 +172,7 @@ def run_retention_pipeline(
 
                 run_waved_pass(
                     spark, filled, chunk, os.path.join(out_dir, f"chunks/tier={tier}"),
-                    ckpt, run_id, f"chunks:{tier}", n_waves=n_waves,
+                    ckpt, run_id, f"chunks:{tier}", n_waves=n_waves, one_pass=one_pass,
                 )
 
         metrics["tiers"][tier] = {"wall_sec": time.time() - t0}

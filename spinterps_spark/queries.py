@@ -148,6 +148,63 @@ FROM d1p
 )
 
 
+def q_rollup_1mo_month_rule(spark, sf_dir) -> DataFrame:
+    """A2 month rule: calendar-month bucket valid only when EVERY day of
+    that month contributed (min_cnt = days_in_month, per-bucket —
+    utils/rsmp_nc_in_time.py:306-311); invalid months keep the row with
+    NULL metrics."""
+    m1 = R.base_rollup(_t(spark, sf_dir), "1m")
+    h1 = R.rollup_tier(m1, "1h", min_cnt=1)
+    d1 = R.rollup_tier(h1, "1d", min_cnt=1)
+    mo = R.rollup_month(d1, min_cnt="days_in_month")
+    return mo.select("conv_id", "bucket_ts", "turn_cnt", "tok_len_sum",
+                     "n_days", "valid")
+
+
+SQL_ROLLUP_1MO = (
+    _SQL_H1
+    + """
+, d1 AS (
+  SELECT conv_id, date_trunc('day', bucket_ts) AS bucket_ts,
+         sum(s1) AS s1, sum(s2) AS s2
+  FROM h1p GROUP BY 1, 2
+),
+mo AS (
+  SELECT conv_id, CAST(date_trunc('month', bucket_ts) AS TIMESTAMP) AS bucket_ts,
+         sum(s1) AS s1, sum(s2) AS s2, count(*) AS n_days
+  FROM d1 GROUP BY 1, 2
+)
+SELECT conv_id, bucket_ts,
+       CASE WHEN n_days >= day(last_day(bucket_ts)) THEN CAST(s1 AS BIGINT) END AS turn_cnt,
+       CASE WHEN n_days >= day(last_day(bucket_ts)) THEN CAST(s2 AS BIGINT) END AS tok_len_sum,
+       n_days,
+       n_days >= day(last_day(bucket_ts)) AS valid
+FROM mo
+"""
+)
+
+
+SHIFT_SEC = 90
+
+
+def q_rollup_1m_shifted(spark, sf_dir) -> DataFrame:
+    """A2 tme_dla time shift: series shifted +90s BEFORE bucketing
+    (utils/rsmp_nc_in_time.py:276-277)."""
+    return R.base_rollup(
+        _t(spark, sf_dir), "1m", n_salt=8, shift_seconds=SHIFT_SEC
+    ).select("conv_id", "bucket_ts", "turn_cnt", "tok_len_sum")
+
+
+SQL_ROLLUP_1M_SHIFTED = f"""
+SELECT conv_id,
+       date_trunc('minute', ts + INTERVAL {SHIFT_SEC} SECOND) AS bucket_ts,
+       count(*) AS turn_cnt,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_len_sum
+FROM read_parquet('{{tp}}')
+GROUP BY 1, 2
+"""
+
+
 def q_role_mix_1h(spark, sf_dir) -> DataFrame:
     """Derived ratio metrics from exact-compose sums (final-divide rule)."""
     h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
@@ -1189,6 +1246,25 @@ def q_variogram_fit_dim(spark, sf_dir) -> DataFrame:
     return V.fit_cluster_variograms(evg)
 
 
+def q_variogram_fit_regime(spark, sf_dir) -> DataFrame:
+    """Per-(cluster, time-regime) variogram dim — the per-step variogram
+    string table analog (reference variograms/fitvgs.py:95-114: one fitted
+    model row per step); regime = calendar month. Rows-only (DE)."""
+    from spinterps_spark.operators import variogram as V
+
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    ser = h1.select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
+        F.date_format("bucket_ts", "yyyy-MM").alias("month"),
+    )
+    coords = fixtures.load_coords(_utc(spark), sf_dir)
+    evg = V.empirical_variogram(
+        ser, coords, "v", estimator="mean", regime_col="month"
+    )
+    return V.fit_cluster_variograms(evg)
+
+
 def q_variogram_nbest_dim(spark, sf_dir) -> DataFrame:
     """T4 n-best fits by AIC per cluster (variograms/vgs.py:809-818 +
     per-step table fitvgs.py:95-114); rows-only — DE optimizer."""
@@ -1484,6 +1560,8 @@ QUERIES = {
     "rollup_1m": (q_rollup_1m, lambda: SQL_ROLLUP_1M.format(tp=_tp())),
     "rollup_1h_validity": (q_rollup_1h_validity, lambda: SQL_ROLLUP_1H.format(tp=_tp())),
     "rollup_1d": (q_rollup_1d, lambda: SQL_ROLLUP_1D.format(tp=_tp())),
+    "rollup_1mo_month_rule": (q_rollup_1mo_month_rule, lambda: SQL_ROLLUP_1MO.format(tp=_tp())),
+    "rollup_1m_shifted": (q_rollup_1m_shifted, lambda: SQL_ROLLUP_1M_SHIFTED.format(tp=_tp())),
     "role_mix_1h": (q_role_mix_1h, lambda: SQL_ROLE_MIX_1H.format(tp=_tp())),
     "spine_gap_stats": (q_spine_gap_stats, lambda: SQL_SPINE_GAPS.format(tp=_tp())),
     "fleet_stats_1h": (q_fleet_stats_1h, lambda: SQL_FLEET_STATS.format(tp=_tp())),
@@ -1520,6 +1598,7 @@ QUERIES = {
     "gapfill_ik": (q_gapfill_ik, None),
     "variogram_fit_dim": (q_variogram_fit_dim, None),
     "variogram_nbest_dim": (q_variogram_nbest_dim, None),
+    "variogram_fit_regime": (q_variogram_fit_regime, None),
 }
 
 

@@ -71,6 +71,55 @@ def test_spine_makes_gaps_explicit(spark):
     assert (~got["valid"]).sum() > 0
 
 
+def test_month_rule_days_in_month(spark):
+    """A2 month rule: valid iff every day of the month contributed."""
+    import pandas as pd
+
+    # conv a: all 29 days of Feb 2024 (leap); conv b: 28 of them
+    days = pd.date_range("2024-02-01", "2024-02-29", freq="D")
+    rows = []
+    for d in days:
+        rows.append(("a", d, 2, 10))
+    for d in days[:-1]:
+        rows.append(("b", d, 3, 12))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "bucket_ts", "turn_cnt", "tok_len_sum"])
+    for c in ("tool_call_cnt", "role_user_cnt", "role_assistant_cnt", "role_tool_cnt"):
+        pdf[c] = 1
+    pdf["valid"] = True
+    d1 = spark.createDataFrame(pdf)
+    mo = R.rollup_month(d1).toPandas().set_index("conv_id")
+    assert bool(mo.loc["a", "valid"]) and mo.loc["a", "n_days"] == 29
+    assert mo.loc["a", "turn_cnt"] == 58
+    assert not bool(mo.loc["b", "valid"])
+    assert pd.isna(mo.loc["b", "turn_cnt"])  # invalid -> NULL metrics
+    # fixed-int threshold variant
+    mo2 = R.rollup_month(d1, min_cnt=28).toPandas().set_index("conv_id")
+    assert bool(mo2.loc["b", "valid"])
+
+
+def test_time_shift_tme_dla(spark):
+    """A2 tme_dla: shifting by +30s moves a :59:45 turn into the next
+    minute bucket."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c", "c"],
+            "turn_idx": [0, 1],
+            "role": ["user", "assistant"],
+            "text": ["hi there", "ok"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2024-01-01 00:59:45", "2024-01-01 01:00:10"]),
+        }
+    )
+    t = spark.createDataFrame(pdf)
+    plain = R.base_rollup(t, "1m").toPandas()
+    shifted = R.base_rollup(t, "1m", shift_seconds=30).toPandas()
+    assert len(plain) == 2  # two distinct minute buckets
+    assert len(shifted) == 1  # both land in 01:00 after +30s
+    assert shifted["turn_cnt"].iloc[0] == 2
+
+
 def test_derived_metrics(spark):
     turns = datagen.transcripts_pandas(seed=42, n_turns_target=2000)
     sdf = spark.createDataFrame(turns)

@@ -94,6 +94,19 @@ def test_p10_drop_zeros_filters_zero_pairs(spark):
     assert np.isclose(drop["gamma"].iloc[0], 0.5 * 16.0, rtol=1e-12)
 
 
+def test_auto_lag_width_picks_finest_populated(spark, series, coords):
+    """A5 auto lag: one-pass candidate evaluation; dense hourly data must
+    admit a fine width, a sparse series must fall back to a coarse one."""
+    w = V.auto_lag_width(series, coords, "v", candidates=(3600.0, 7200.0),
+                         max_lag=12 * 3600, min_pairs=5)
+    assert w in (3600.0, 7200.0)
+    # a 3-point series can never give >= 5 pairs per bin -> largest candidate
+    tiny = series.limit(3)
+    w2 = V.auto_lag_width(tiny, coords, "v", candidates=(3600.0, 7200.0),
+                          max_lag=12 * 3600, min_pairs=5)
+    assert w2 == 7200.0
+
+
 def test_smooth_monotone_normalize(spark, series, coords):
     evg = V.empirical_variogram(series, coords, "v", estimator="mean")
     out = V.normalize(V.smooth_and_monotone(evg)).toPandas()
@@ -101,6 +114,38 @@ def test_smooth_monotone_normalize(spark, series, coords):
         pd_vals = g["gamma_pd"].to_numpy()
         assert (np.diff(pd_vals) >= -1e-12).all(), "envelope not monotone"
     assert np.allclose(out["gamma_n"] * out["norm_val"], out["gamma_pd"])
+
+
+def test_regime_variogram_pairs_stay_within_regime(spark):
+    """Per-(cluster, regime) evg: pairs never span regimes, and the fit dim
+    has one row per (cluster, regime) — the per-step vg table analog."""
+    ts = pd.to_datetime(np.arange(8) * 3600, unit="s")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c",
+            "bucket_ts": ts,
+            "v": np.arange(8, dtype=float),
+            "reg": ["A"] * 4 + ["B"] * 4,
+        }
+    )
+    ser = spark.createDataFrame(pdf)
+    crd = spark.createDataFrame([("c", 0)], "conv_id string, cluster_id int")
+    evg = V.empirical_variogram(
+        ser, crd, "v", max_lag=8 * 3600, lag_width=3600,
+        estimator="mean", regime_col="reg",
+    ).toPandas()
+    # within-regime pairs only: 4 points per regime -> lags 1..3h
+    assert set(evg["regime"]) == {"A", "B"}
+    assert evg["n_pairs"].sum() == 2 * (3 + 2 + 1)
+    per = evg.groupby("regime")["n_pairs"].sum()
+    assert per["A"] == 6 and per["B"] == 6
+
+    dim = V.fit_cluster_variograms(evg_df := V.empirical_variogram(
+        ser, crd, "v", max_lag=8 * 3600, lag_width=3600,
+        estimator="mean", regime_col="reg",
+    )).toPandas()
+    assert set(zip(dim["cluster_id"], dim["regime"])) == {(0, "A"), (0, "B")}
+    assert set(dim.columns) >= {"cluster_id", "regime", "vg_str", "aic", "n_bins"}
 
 
 def test_fit_recovers_known_model():

@@ -1265,6 +1265,30 @@ def q_variogram_fit_regime(spark, sf_dir) -> DataFrame:
     return V.fit_cluster_variograms(evg)
 
 
+def q_vg_cluster_merge(spark, sf_dir) -> DataFrame:
+    """K7 KS-test cluster reduction: greedily merge clusters whose OK-weight
+    ecdfs are KS-similar, refit the merged representative on the mean model
+    curve (vgclus/tvgs_clus.py:294-498). Driver-side loop over the tiny
+    cluster dim (by construction <= dozens); rows-only."""
+    from spinterps_spark.operators import variogram as V
+
+    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
+    ser = h1.select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
+    )
+    coords = fixtures.load_coords(_utc(spark), sf_dir)
+    evg = V.empirical_variogram(ser, coords, "v", estimator="mean")
+    dim = V.fit_cluster_variograms(evg).toPandas()
+    merged = V.ks_cluster_variograms(dim)
+    return _utc(spark).createDataFrame(
+        merged[["cluster_id", "merged_id"]]
+    ).select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("merged_id").cast("int").alias("merged_id"),
+    )
+
+
 def q_variogram_nbest_dim(spark, sf_dir) -> DataFrame:
     """T4 n-best fits by AIC per cluster (variograms/vgs.py:809-818 +
     per-step table fitvgs.py:95-114); rows-only — DE optimizer."""
@@ -1599,6 +1623,7 @@ QUERIES = {
     "variogram_fit_dim": (q_variogram_fit_dim, None),
     "variogram_nbest_dim": (q_variogram_nbest_dim, None),
     "variogram_fit_regime": (q_variogram_fit_regime, None),
+    "vg_cluster_merge": (q_vg_cluster_merge, None),
 }
 
 

@@ -76,7 +76,8 @@ def cmd_rollup(args) -> int:
         n_waves=args.waves,
         run_id=args.resume,
         fill_knobs={"chunk_buckets": args.chunk_buckets, "pad_buckets": args.pad_buckets},
-        fuse_fill_and_chunks=not args.materialize_filled,
+        # --drift implies the materialized fill path (per its help text)
+        fuse_fill_and_chunks=not (args.materialize_filled or args.drift),
         iceberg_table=args.iceberg_table,
         drift=drift,
         drift_cols=drift_cols,

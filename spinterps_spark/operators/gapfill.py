@@ -192,6 +192,15 @@ def fill_series(
                         d_all = np.asarray(drifts, dtype=np.float64)
                         if d_all.ndim == 1:
                             d_all = d_all[:, None]
+                        if np.isnan(d_all).any():
+                            # fail fast with a clear cause instead of a
+                            # LinAlgError from a NaN kriging matrix deep in
+                            # the executor
+                            raise ValueError(
+                                "EDK drift contains NaN — drift covariates "
+                                "must be known at every row (gaps included); "
+                                "check the with_drift join coverage"
+                            )
                     drift_ref = d_all[ref_idx]
                     drift_gap = d_all[gap_idx]
                 _fill_krige(
@@ -322,6 +331,19 @@ def _fill_krige(
                 codes[j] = M_OK
 
 
+def _nan_lims_col(v, params: dict):
+    """P5 limit-to-NaN applied IN THE PLAN (not only inside the kernel):
+    chunk membership must see out-of-range observations as gaps, otherwise
+    a chunked fill counts them as refs when computing lag/lead coverage and
+    diverges from the unchunked result near chunk edges."""
+    llm, ulm = params.get("nan_llm"), params.get("nan_ulm")
+    if llm is not None:
+        v = F.when(v < F.lit(float(llm)), F.lit(None)).otherwise(v)
+    if ulm is not None:
+        v = F.when(v > F.lit(float(ulm)), F.lit(None)).otherwise(v)
+    return v
+
+
 def with_drift(
     spined: DataFrame,
     drift: DataFrame,
@@ -372,7 +394,7 @@ def gapfill(
     df = spined.select(
         "conv_id",
         "bucket_ts",
-        F.col(value_col).cast("double").alias("_v"),
+        _nan_lims_col(F.col(value_col).cast("double"), params).alias("_v"),
         F.unix_timestamp("bucket_ts").alias("_t"),
         *[F.col(c).cast("double").alias(c) for c in drift_cols],
     )
@@ -407,11 +429,19 @@ def gapfill(
         k = params["n_neighbors"]
         w = W.partitionBy("conv_id").orderBy("_t")
         b = W.partitionBy("conv_id")
+        # edge fallback spans the conversation's FULL row range (computed
+        # before the ref/gap split), so gaps in chunks beyond the first/last
+        # ref still receive the nearest refs instead of going unfillable
+        df = df.select(
+            "*",
+            F.min("_t").over(b).alias("_gmin"),
+            F.max("_t").over(b).alias("_gmax"),
+        )
         is_ref = F.col("_v").isNotNull()
         refs = df.where(is_ref).select(
             "*",
-            F.coalesce(F.lag("_t", k).over(w), F.min("_t").over(b)).alias("_tl"),
-            F.coalesce(F.lead("_t", k).over(w), F.max("_t").over(b)).alias("_tr"),
+            F.coalesce(F.lag("_t", k).over(w), F.col("_gmin")).alias("_tl"),
+            F.coalesce(F.lead("_t", k).over(w), F.col("_gmax")).alias("_tr"),
         )
         gaps = df.where(~is_ref).select(
             "*", F.col("_t").alias("_tl"), F.col("_t").alias("_tr")
@@ -424,7 +454,7 @@ def gapfill(
                     F.floor(F.col("_tl") / span), F.floor(F.col("_tr") / span)
                 )
             ).alias("_chunk"),
-        ).drop("_tl", "_tr")
+        ).drop("_tl", "_tr", "_gmin", "_gmax")
         df = df.withColumn("_pad", F.floor(F.col("_t") / span) != F.col("_chunk"))
         group_cols = ["conv_id", "_chunk"]
     else:
@@ -585,8 +615,8 @@ def gapfill_virtual_chunks(
     df = rollup_valid.select(
         "conv_id",
         F.unix_timestamp("bucket_ts").alias("_t"),
-        F.col(value_col).cast("double").alias("_v"),
-    ).where(F.col(value_col).isNotNull())
+        _nan_lims_col(F.col(value_col).cast("double"), params).alias("_v"),
+    ).where(F.col("_v").isNotNull())
 
     kriging = method in ("OK", "SK", "EDK", "IK")
     if kriging:

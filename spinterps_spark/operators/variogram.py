@@ -116,7 +116,6 @@ def empirical_variogram(
 
 def auto_lag_width(
     series: DataFrame,
-    coords: DataFrame,
     value_col: str,
     candidates: tuple[float, ...] = (900.0, 1800.0, 3600.0, 7200.0, 14400.0),
     max_lag: float = 48 * 3600,
@@ -137,11 +136,14 @@ def auto_lag_width(
         F.unix_timestamp("bucket_ts").alias("t"),
     ).where(F.col(value_col).isNotNull())
     a, b = s.alias("a"), s.alias("b")
+    # strict h < max_lag: otherwise the exact-max_lag pairs form a sliver
+    # bin past [0, max_lag) that corrupts both the bin count and the
+    # min-pairs check
     pairs = a.join(
         b,
         (F.col("a.conv_id") == F.col("b.conv_id"))
         & (F.col("a.t") < F.col("b.t"))
-        & (F.col("b.t") - F.col("a.t") <= max_lag),
+        & (F.col("b.t") - F.col("a.t") < max_lag),
     ).select((F.col("b.t") - F.col("a.t")).cast("double").alias("h"))
     cand = F.array(*[F.lit(float(w)) for w in candidates])
     binned = pairs.select(
@@ -155,7 +157,7 @@ def auto_lag_width(
     }
     for w in sorted(candidates):
         n_bins, mp = summary.get(float(w), (0, 0))
-        want_bins = int(max_lag // w)
+        want_bins = int(-(-max_lag // w))  # ceil: bins covering [0, max_lag)
         if n_bins >= want_bins and mp >= min_pairs:
             return float(w)
     return float(max(candidates))

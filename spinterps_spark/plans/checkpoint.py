@@ -225,7 +225,10 @@ def run_waved_pass(
         for w in pending:
             is_w = F.col("wave") == w
             aggs.append(
-                F.sum(F.when(is_w, 1).otherwise(0)).alias(f"cnt{w}")
+                # coalesce: F.sum over a zero-row write job yields NULL
+                F.coalesce(
+                    F.sum(F.when(is_w, 1).otherwise(0)), F.lit(0)
+                ).alias(f"cnt{w}")
             )
             aggs.append(
                 F.pmod(
@@ -236,6 +239,14 @@ def run_waved_pass(
                 ).cast("long").alias(f"chk{w}")
             )
         out = out.observe(obs, *aggs)
+        # dynamic overwrite only replaces partitions PRESENT in the new
+        # output: clear every pending wave dir first so a pending wave that
+        # happens to produce zero rows cannot leak a previous run's data
+        # into the trailing wave=* read
+        import shutil
+
+        for w in pending:
+            shutil.rmtree(os.path.join(out_dir, f"wave={w}"), ignore_errors=True)
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -245,8 +256,17 @@ def run_waved_pass(
         wall = time.time() - t0
         ostats = obs.get
         stats = {
-            w: (ostats[f"cnt{w}"], ostats[f"chk{w}"]) for w in pending
+            w: (ostats[f"cnt{w}"] or 0, ostats[f"chk{w}"]) for w in pending
         }
+        # empty pending waves wrote no partition dir: materialize an empty
+        # one so the final wave=* glob read always resolves
+        empty_schema = out.drop("wave").schema
+        for w in pending:
+            wdir = os.path.join(out_dir, f"wave={w}")
+            if stats[w][0] == 0 and not os.path.isdir(wdir):
+                spark.createDataFrame([], empty_schema).write.mode(
+                    "overwrite"
+                ).parquet(wdir)
         rows_in = {}
         if count_input:
             rows_in = {

@@ -64,6 +64,13 @@ def run_retention_pipeline(
     parquet + _snapshots.jsonl metadata commits otherwise. Resume first
     consults the snapshot log (whole-tier skip), then the wave checkpoints
     (partial-tier skip)."""
+    if (drift is None) != (not drift_cols):
+        raise ValueError(
+            "drift and drift_cols go together: a drift table without "
+            "drift_cols would be silently ignored (EDK would fall back to "
+            "the synthetic linear-time drift), and drift_cols without a "
+            "table cannot be joined"
+        )
     if drift is not None and fuse_fill_and_chunks:
         raise ValueError(
             "external drift columns need the materialized fill path "

@@ -1510,7 +1510,16 @@ sh AS (
               for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
           ) AS DISTINCT_S
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+-- sizes from the array itself (not the exploded sh), so docs shorter than
+-- the shingle size keep n_sh = 0 instead of vanishing from the join —
+-- mirrors operators/dedup.ngram_jaccard exactly
+sizes AS (
+  SELECT doc_id,
+         len(list_distinct(
+           [array_to_string(toks[i:i+2], ' ')
+            for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS n_sh
+  FROM t
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
@@ -1524,9 +1533,11 @@ inter AS (
 )
 SELECT p.doc_a, p.doc_b,
        coalesce(i.n_inter, 0) AS n_inter,
-       za.n_sh AS n_a, zb.n_sh AS n_b,
-       round(coalesce(i.n_inter, 0) /
-             CAST(za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+       CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+       CASE WHEN za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) > 0
+            THEN round(coalesce(i.n_inter, 0) /
+                 CAST(za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 6)
+       END AS jaccard
 FROM pairs p
 LEFT JOIN inter i USING (doc_a, doc_b)
 JOIN sizes za ON za.doc_id = p.doc_a

@@ -69,8 +69,14 @@ class IcebergTierTables:
                     writer.partitionedBy(F.col("tier"), F.days(F.col("bucket_ts")))
                     .create()
                 )
-            except Exception:
-                writer.append()  # table already exists
+            except Exception as e:
+                # fall through to append ONLY for already-exists; any other
+                # create failure (schema mismatch, catalog/permission
+                # problems) must surface, not be masked by a retry
+                msg = f"{type(e).__name__}: {e}".lower()
+                if "already exists" not in msg and "tablealreadyexists" not in msg:
+                    raise
+                writer.append()
             self._created = True
         else:
             writer.append()
@@ -116,14 +122,9 @@ class ParquetTierTables:
             ).isoformat(),
             "data_location": location,
         }
-        tmp = self._log + f".{commit_id}.tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(rec) + "\n")
-        # append via read-modify-write of the tail file list is overkill for
-        # a driver-side log; O_APPEND keeps concurrent tiers safe enough
+        # single O_APPEND write: one line per commit, driver-side only
         with open(self._log, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        os.remove(tmp)
         return commit_id
 
     def snapshots(self) -> list[dict]:

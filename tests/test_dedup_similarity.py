@@ -122,6 +122,45 @@ def test_shingles_short_doc_no_crash(spark):
     assert out.loc[3, "n_inter"] == 0
 
 
+def test_ngram_oracle_parity_with_short_docs(spark):
+    """Review r2: the DuckDB twin of ngram_jaccard must keep pairs touching
+    sub-shingle-size docs (n_sh = 0) and NULL the both-empty jaccard —
+    exactly like the operator. Exercised on a custom documents table since
+    the driver fixture has no short docs."""
+    import duckdb
+
+    import spinterps_spark.queries as Q
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c d e", "b c d e f", "xy", "zz"],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(Q.SQL_NGRAM_JACCARD).df()
+        .sort_values("doc_a").reset_index(drop=True)
+    )
+    docs = spark.createDataFrame(pdf)
+    ids = docs.select(F.col("doc_id").alias("doc_a"))
+    pairs = ids.select("doc_a", (F.col("doc_a") + 1).alias("doc_b")).join(
+        docs.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+    )
+    got = (
+        D.ngram_jaccard(docs, pairs).toPandas()
+        .sort_values("doc_a").reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 3  # pairs (1,2), (2,3), (3,4) all kept
+    assert (got["n_a"].to_numpy() == want["n_a"].to_numpy()).all()
+    assert (got["n_inter"].to_numpy() == want["n_inter"].to_numpy()).all()
+    ga, wa = got["jaccard"].to_numpy(float), want["jaccard"].to_numpy(float)
+    assert ((ga == wa) | (np.isnan(ga) & np.isnan(wa))).all()
+    # the both-empty pair (3,4) is NULL on both sides
+    assert np.isnan(got.set_index("doc_a").loc[3, "jaccard"])
+
+
 def test_cosine_topk_lsh_recall_vs_bruteforce(spark, emb):
     q = emb.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "q_id")
     exact = SIM.cosine_topk_bruteforce(emb, q, k=5).toPandas()

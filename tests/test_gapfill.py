@@ -122,6 +122,61 @@ def test_p5_limit_to_nan_refills_outliers():
     assert codes2[3] == "observed" and out2[3] == 99.0
 
 
+def test_chunked_equals_unchunked_with_nan_lims(spark):
+    """Review r2: nan_llm/nan_ulm must null observations BEFORE chunk
+    membership — an out-of-range 'ref' used for lag/lead coverage but
+    nulled inside the kernel would diverge chunked vs unchunked."""
+    import pandas as pd
+
+    rng = np.random.RandomState(6)
+    hours = np.arange(600)
+    v = np.round(rng.uniform(5, 20, len(hours)), 2)
+    v[rng.choice(len(hours), 60, replace=False)] = np.nan       # gaps
+    v[rng.choice(len(hours), 40, replace=False)] = 99.0         # outliers
+    spined = spark.createDataFrame(pd.DataFrame({
+        "conv_id": "c1",
+        "bucket_ts": pd.to_datetime(hours * 3600, unit="s"),
+        "v": v,
+    }))
+    kw = dict(method="IDW", tier="1h", nan_llm=0.0, nan_ulm=50.0)
+    a = G.gapfill(spined, "v", **kw).toPandas().sort_values("bucket_ts")
+    b = G.gapfill(spined, "v", chunk_buckets=128, **kw).toPandas().sort_values("bucket_ts")
+    assert len(a) == len(b) == 600
+    av, bv = a["value_filled"].to_numpy(), b["value_filled"].to_numpy()
+    assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all()
+    assert (a["fill_method"].to_numpy() == b["fill_method"].to_numpy()).all()
+
+
+def test_chunked_fills_gaps_beyond_ref_range(spark):
+    """Review r2: leading/trailing gap chunks beyond the first/last ref
+    must still get refs (edge fallback spans the full row range)."""
+    import pandas as pd
+
+    hours = np.arange(800)
+    v = np.full(800, np.nan)
+    v[300:340] = np.round(np.linspace(5, 9, 40), 2)  # refs only mid-series
+    spined = spark.createDataFrame(pd.DataFrame({
+        "conv_id": "c1",
+        "bucket_ts": pd.to_datetime(hours * 3600, unit="s"),
+        "v": v,
+    }))
+    a = G.gapfill(spined, "v", method="IDW", tier="1h").toPandas().sort_values("bucket_ts")
+    b = G.gapfill(spined, "v", method="IDW", tier="1h", chunk_buckets=128).toPandas().sort_values("bucket_ts")
+    assert not (b["fill_method"] == "unfillable").any()
+    assert (a["value_filled"].to_numpy() == b["value_filled"].to_numpy()).all()
+
+
+def test_edk_nan_drift_raises_clearly():
+    t = np.arange(20, dtype=np.int64) * 3600
+    v = np.arange(20, dtype=float)
+    v[5] = np.nan
+    drifts = np.ones((20, 1))
+    drifts[7, 0] = np.nan
+    import pytest as _pt
+    with _pt.raises(ValueError, match="drift contains NaN"):
+        G.fill_series(t, v, method="EDK", vg_str="1.0 Exp(7200.0)", drifts=drifts)
+
+
 def test_idw_within_neighbor_range():
     # property: IDW estimate lies within [min, max] of neighbors
     rng = np.random.RandomState(0)

@@ -78,6 +78,45 @@ def test_resume_skips_done_waves_and_matches_single_shot(spark, tdir):
     assert (counts["count"] == 1).all()
 
 
+def test_drift_without_cols_rejected(spark, tdir):
+    """Review r2: drift without drift_cols would silently run the synthetic
+    time drift instead of the user's covariates — must be rejected."""
+    t = datagen.transcripts_spark(spark, seed=1, n_turns_target=500)
+    drift = t.select("conv_id", F.col("ts").alias("bucket_ts"))
+    with pytest.raises(ValueError, match="drift and drift_cols go together"):
+        run_retention_pipeline(
+            spark, t, tdir, tiers=("1m",), gorilla=False,
+            fuse_fill_and_chunks=False, drift=drift,
+        )
+
+
+def test_one_pass_empty_wave_no_stale_data(spark, tdir):
+    """Review r2: a pending wave producing zero rows must (a) clear any
+    previous run's data in its wave dir and (b) still leave a readable
+    wave dir for the trailing wave=* read."""
+    import os
+
+    from spinterps_spark.plans import checkpoint as C
+
+    src = spark.range(100).selectExpr("concat('c', id % 7) AS conv_id", "id AS x")
+    out = os.path.join(tdir, "w")
+    ck = C.CheckpointLog(spark, os.path.join(tdir, "ck"))
+
+    full = C.run_waved_pass(spark, src, lambda d: d, out, ck, "rA", "t",
+                            n_waves=2)
+    assert full.count() == 100
+
+    # new run, transform drops everything -> both waves empty
+    ck2 = C.CheckpointLog(spark, os.path.join(tdir, "ck2"))
+    empty = C.run_waved_pass(
+        spark, src, lambda d: d.where(F.lit(False)), out, ck2, "rB", "t",
+        n_waves=2,
+    )
+    assert empty.count() == 0  # no stale rows from rA leak through
+    rows = ck2.read().where("run_id = 'rB' and status = 'done'").collect()
+    assert len(rows) == 2 and all(r.rows_out == 0 for r in rows)
+
+
 def test_checksum_is_order_insensitive(spark):
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "x int, y string")
     df2 = spark.createDataFrame([(2, "b"), (1, "a")], "x int, y string")

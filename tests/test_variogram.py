@@ -97,12 +97,12 @@ def test_p10_drop_zeros_filters_zero_pairs(spark):
 def test_auto_lag_width_picks_finest_populated(spark, series, coords):
     """A5 auto lag: one-pass candidate evaluation; dense hourly data must
     admit a fine width, a sparse series must fall back to a coarse one."""
-    w = V.auto_lag_width(series, coords, "v", candidates=(3600.0, 7200.0),
+    w = V.auto_lag_width(series, "v", candidates=(3600.0, 7200.0),
                          max_lag=12 * 3600, min_pairs=5)
     assert w in (3600.0, 7200.0)
     # a 3-point series can never give >= 5 pairs per bin -> largest candidate
     tiny = series.limit(3)
-    w2 = V.auto_lag_width(tiny, coords, "v", candidates=(3600.0, 7200.0),
+    w2 = V.auto_lag_width(tiny, "v", candidates=(3600.0, 7200.0),
                           max_lag=12 * 3600, min_pairs=5)
     assert w2 == 7200.0
 

@@ -15,9 +15,77 @@ same data agree bit-for-bit (tested with trigger=availableNow).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from spinterps_spark import TIER_SECONDS
 from spinterps_spark.datagen import TRANSCRIPT_SCHEMA
+
+GAP_EVENT_SCHEMA = (
+    "conv_id string, gap_start timestamp, gap_end timestamp, n_missing long"
+)
+
+
+def stream_gap_events(
+    spark,
+    input_dir: str,
+    tier: str = "1m",
+    min_gap_buckets: int = 3,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per
+    conversation, track the last observed tier bucket across micro-batches
+    and emit a gap event whenever new data arrives >= min_gap_buckets after
+    it — the streaming twin of the batch spine's gap detection (J2/W3),
+    feeding the same gap-fill machinery incrementally.
+
+    State: one long (last bucket index) per conv_id. Gaps inside a single
+    micro-batch are detected by the same walk, so event output is
+    independent of how turns were chopped into batches.
+    """
+    secs = TIER_SECONDS[tier]
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    buck = src.withWatermark("ts", watermark).select(
+        "conv_id", (F.unix_timestamp("ts") / secs).cast("long").alias("b")
+    )
+
+    def track(key, pdfs, state):
+        conv = key[0]
+        last = state.get[0] if state.exists else None
+        bs = sorted({int(x) for pdf in pdfs for x in pdf["b"]})
+        events = []
+        for b in bs:
+            if last is not None and b - last - 1 >= min_gap_buckets:
+                events.append(
+                    (conv,
+                     pd.Timestamp((last + 1) * secs, unit="s"),
+                     pd.Timestamp((b - 1) * secs, unit="s"),
+                     b - last - 1)
+                )
+            if last is None or b > last:
+                last = b
+        if last is not None:
+            state.update((int(last),))
+        if events:
+            yield pd.DataFrame(
+                events,
+                columns=["conv_id", "gap_start", "gap_end", "n_missing"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return buck.groupBy("conv_id").applyInPandasWithState(
+        track,
+        outputStructType=GAP_EVENT_SCHEMA,
+        stateStructType="last_b long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def stream_base_rollup(

@@ -4,7 +4,52 @@ import pandas as pd
 
 from spinterps_spark import datagen
 from spinterps_spark.operators import rollup as R
-from spinterps_spark.streaming.ingest import run_stream_to_parquet
+from spinterps_spark.streaming.ingest import run_stream_to_parquet, stream_gap_events
+
+
+def _turn_file(path, conv, hours, t0=1_700_000_000):
+    rows = []
+    for i, h in enumerate(hours):
+        rows.append((conv, i, "user", "hi there", None,
+                     pd.Timestamp(t0 + h * 60, unit="s")))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf.to_parquet(path)
+
+
+def test_stateful_gap_events_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState gap monitor: state (last bucket) persists
+    across micro-batches, so a hole spanning two file batches is reported
+    once with exact bounds; intra-batch holes are found too."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # batch 1: minutes 0,1,2 ; batch 2: minutes 50,51 and an intra-batch
+    # hole 51 -> 60
+    _turn_file(os.path.join(in_dir, "a.parquet"), "c1", [0, 1, 2])
+    import time as _time
+    _time.sleep(0.05)  # distinct mtime -> deterministic file order
+    _turn_file(os.path.join(in_dir, "b.parquet"), "c1", [50, 51, 60])
+
+    q = (
+        stream_gap_events(spark, in_dir, tier="1m", min_gap_buckets=3)
+        .writeStream.format("memory").queryName("gaps")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM gaps").toPandas()
+        .sort_values("gap_start").reset_index(drop=True)
+    )
+    t0 = 1_700_000_000
+    base = t0 // 60 * 60
+    assert len(got) == 2
+    # hole minutes 3..49 (cross-batch) and 52..59 (intra-batch)
+    assert got["n_missing"].tolist() == [47, 8]
+    assert got["gap_start"].iloc[0] == pd.Timestamp(base + 3 * 60, unit="s")
+    assert got["gap_end"].iloc[0] == pd.Timestamp(base + 49 * 60, unit="s")
 
 
 def test_streaming_rollup_matches_batch(spark, tmp_path):

@@ -25,9 +25,12 @@ reference's exact DSL and kernels:
 Execution model: one `applyInPandas` group per (conv_id[, chunk]) — Arrow
 batches, float64 numpy inside, zero per-row Python. The O2 rewrite from the
 reference (one matrix factorization per variogram/config, not per step:
-interp/prepare.py:465-508, interp/steps.py:333-346) appears here as a pinv
-cache keyed by the neighbor index-set, so a contiguous gap run costs one
-factorization.
+interp/prepare.py:465-508, interp/steps.py:333-346) appears here TWICE:
+a per-series pinv group keyed by the neighbor index-set (a contiguous gap
+run costs one factorization), and a cross-conversation cache keyed by
+(vg_str, relative neighbor time pattern) shared across the whole Arrow
+batch — dense tier spines repeat the same patterns everywhere, so most
+conversations solve with zero new factorizations.
 
 Scale: mega-conversations are split into bounded bucket-range chunks with an
 overlap pad of ref rows (the reference's max_steps_per_chunk memory planning,
@@ -79,6 +82,7 @@ def fill_series(
     drifts: np.ndarray | None = None,
     nan_llm: float | None = None,
     nan_ulm: float | None = None,
+    pinv_cache: dict | None = None,
 ):
     """Fill NaNs of v (float64) at times t (int64 seconds, sorted asc).
 
@@ -207,6 +211,7 @@ def fill_series(
                     method, g_rows, nb, dists, zs, nearest, t_ref, v_ref,
                     t_gap, vg_str, gap_idx, out, est_var, codes,
                     ik_lim=ik_lim, drift_ref=drift_ref, drift_gap=drift_gap,
+                    pinv_cache=pinv_cache,
                 )
         else:
             raise NotImplementedError(method)
@@ -226,12 +231,21 @@ def fill_series(
 def _fill_krige(
     method, g_rows, nb, dists, zs, nearest, t_ref, v_ref, t_gap, vg_str,
     gap_idx, out, est_var, codes, ik_lim=1.0, drift_ref=None, drift_gap=None,
+    pinv_cache: dict | None = None,
 ):
     """Kriging solves per gap, grouped by neighbor index-set so each set
     costs one matrix build + pinv (the reference O2 rewrite,
     interp/steps.py:333-346). Gamma evaluations are batched per group; the
     small dot-product solve stays gemv per gap to keep the reduction order
     identical to the per-step oracle.
+
+    pinv_cache (cross-conversation O2): the gamma matrix depends only on
+    (vg_str, relative neighbor time pattern), and dense tier spines repeat
+    the same patterns across conversations constantly — a shared dict keyed
+    by (method, vg_str, tuple(tt - tt[0])) lets one pinv serve every
+    conversation in the Arrow batch. Bit-exact: pinv is deterministic for
+    identical input, so cached and fresh factorizations are identical.
+    EDK is excluded (its drift rows break the relative-pattern invariance).
 
     Variants (reference cyth/interpmthds.pyx):
     - OK  (251-362): gamma matrix + Lagrange border; sum(lambda)~1 sanity.
@@ -257,32 +271,43 @@ def _fill_krige(
         kk = len(key)
         key_l = list(key)
         tt = t_ref[key_l]
-        dmat = np.abs(tt[:, None] - tt[None, :])
-        g = vg_vals(vg_str, dmat.ravel()).reshape(kk, kk)
-        np.fill_diagonal(g, 0.0)
 
-        if method == "SK":
-            a = total_sill - g
-        elif method == "EDK":
-            # one Lagrange border + one border row/col per drift
-            a = np.zeros((kk + 1 + n_drift, kk + 1 + n_drift), dtype=np.float64)
-            a[:kk, :kk] = g
-            a[kk, :kk] = 1.0
-            a[:kk, kk] = 1.0
-            dr = drift_ref[key_l]                       # (kk, n_drift)
-            for q in range(n_drift):
-                a[kk + 1 + q, :kk] = dr[:, q]
-                a[:kk, kk + 1 + q] = dr[:, q]
-        else:  # OK / IK
-            a = np.zeros((kk + 1, kk + 1), dtype=np.float64)
-            a[:kk, :kk] = g
-            a[kk, :kk] = 1.0
-            a[:, kk] = 1.0
-            a[kk, kk] = 0.0
-        try:
-            inv = np.linalg.pinv(a)
-        except Exception:
-            inv = None
+        cache_key = None
+        if pinv_cache is not None and method != "EDK":
+            cache_key = (method, vg_str, tuple((tt - tt[0]).tolist()))
+        if cache_key is not None and cache_key in pinv_cache:
+            inv = pinv_cache[cache_key]
+        else:
+            dmat = np.abs(tt[:, None] - tt[None, :])
+            g = vg_vals(vg_str, dmat.ravel()).reshape(kk, kk)
+            np.fill_diagonal(g, 0.0)
+
+            if method == "SK":
+                a = total_sill - g
+            elif method == "EDK":
+                # one Lagrange border + one border row/col per drift
+                a = np.zeros((kk + 1 + n_drift, kk + 1 + n_drift), dtype=np.float64)
+                a[:kk, :kk] = g
+                a[kk, :kk] = 1.0
+                a[:kk, kk] = 1.0
+                dr = drift_ref[key_l]                       # (kk, n_drift)
+                for q in range(n_drift):
+                    a[kk + 1 + q, :kk] = dr[:, q]
+                    a[:kk, kk + 1 + q] = dr[:, q]
+            else:  # OK / IK
+                a = np.zeros((kk + 1, kk + 1), dtype=np.float64)
+                a[:kk, :kk] = g
+                a[kk, :kk] = 1.0
+                a[:, kk] = 1.0
+                a[kk, kk] = 0.0
+            try:
+                inv = np.linalg.pinv(a)
+            except Exception:
+                inv = None
+            if cache_key is not None:
+                if len(pinv_cache) > 8192:   # bound executor memory
+                    pinv_cache.clear()
+                pinv_cache[cache_key] = inv
         rows_arr = np.asarray(rows)
         if inv is None:
             # K5: singular system -> NNB fallback
@@ -485,6 +510,7 @@ def gapfill(
     )
 
     def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        _cache: dict = {}   # cross-conversation pinv reuse within the batch
         starts = group_bounds(pdf, group_cols)
         ends = np.append(starts[1:], len(pdf))
         t_all = pdf["_t"].to_numpy(np.int64)
@@ -503,7 +529,8 @@ def gapfill(
                 vg = vg_all[s:e][nn][0] if nn.any() else "nan"
             f, ev, cd = fill_series(
                 t_all[s:e], v_all[s:e], vg_str=vg,
-                drifts=dr_all[s:e] if dr_all is not None else None, **kw,
+                drifts=dr_all[s:e] if dr_all is not None else None,
+                pinv_cache=_cache, **kw,
             )
             filled[s:e] = f
             est[s:e] = ev
@@ -662,6 +689,7 @@ def gapfill_virtual_chunks(
     )
 
     def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        _vcache: dict = {}  # cross-conversation pinv reuse within the batch
         starts = group_bounds(pdf, ["conv_id", "_chunk"])
         ends = np.append(starts[1:], len(pdf))
         t_all = pdf["_t"].to_numpy(np.int64)
@@ -699,7 +727,8 @@ def gapfill_virtual_chunks(
             if kriging:
                 nn = pd.notna(vg_all[s:e])
                 vg = vg_all[s:e][nn][0] if nn.any() else "nan"
-            filled, _ev, _cd = fill_series(t_ser, v_ser, vg_str=vg, **kw)
+            filled, _ev, _cd = fill_series(
+                t_ser, v_ser, vg_str=vg, pinv_cache=_vcache, **kw)
             keep = (t_ser >= g0) & (t_ser <= g1)
             out_conv.append(np.repeat(conv_all[s], keep.sum()))
             out_t.append(t_ser[keep])

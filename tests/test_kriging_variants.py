@@ -156,6 +156,31 @@ def test_edk_drift_cols_through_spark(spark):
     assert (out["fill_method"].to_numpy() == wc).all()
 
 
+def test_pinv_cache_bit_exact_and_reused_across_series():
+    """Cross-conversation O2: the shared pinv cache must change nothing in
+    the output (pinv is deterministic), and a second series with the same
+    relative neighbor patterns must add zero new factorizations."""
+    t, v = _series(seed=11)
+    vg = "2.5 Exp(43200.0)"
+    base, bev, bc = G.fill_series(t, v, method="OK", vg_str=vg, round_p=None)
+    cache = {}
+    got, gev, gc = G.fill_series(
+        t, v, method="OK", vg_str=vg, round_p=None, pinv_cache=cache
+    )
+    nn = ~np.isnan(base)
+    assert (got[nn] == base[nn]).all()
+    assert (gev == bev).all() and (gc == bc).all()
+    assert len(cache) > 0
+
+    n_before = len(cache)
+    got2, _, _ = G.fill_series(
+        t + 86400 * 365, v, method="OK", vg_str=vg, round_p=None,
+        pinv_cache=cache,
+    )
+    assert len(cache) == n_before  # every pattern was already cached
+    assert (got2[nn] == base[nn]).all()
+
+
 def test_sk_exact_at_duplicate_distance_zero():
     # SK with a target collocated with a ref: covariance rhs hits C0 and the
     # estimate should be close to the neighboring structure (smoke property)

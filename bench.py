@@ -52,35 +52,48 @@ def main():
     actual_turns = transcripts.count()
     out["datagen"] = round(time.time() - t0, 3)
 
-    # ---- headline: full retention cascade
-    work_dir = tempfile.mkdtemp(prefix="bench_pipeline_")
-    t0 = time.time()
-    metrics = run_retention_pipeline(
-        spark,
-        transcripts,
-        work_dir,
-        n_salt=16,
-        n_waves=1,
-        fill_method="IDW",
-        fill_knobs={"chunk_buckets": 3840, "pad_buckets": 64},
-        fuse_fill_and_chunks=True,
-        n_turns_hint=actual_turns,
-    )
-    pipeline_sec = time.time() - t0
+    # ---- headline: full retention cascade. BEST-OF-2: this VM has
+    # transient hypervisor steal (single runs vary +-20%, BENCH/BASELINE.md)
+    # — the r1->r2 "regression" was unmeasured single-shot noise; min-of-N
+    # is the honest estimator of engine cost (VERDICT r2 next-step #3).
+    n_pipeline_runs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_RUNS", "2"))
+    pipe_secs = []
+    for _ in range(n_pipeline_runs):
+        work_dir = tempfile.mkdtemp(prefix="bench_pipeline_")
+        t0 = time.time()
+        metrics = run_retention_pipeline(
+            spark,
+            transcripts,
+            work_dir,
+            n_salt=16,
+            n_waves=1,
+            fill_method="IDW",
+            fill_knobs={"chunk_buckets": 3840, "pad_buckets": 64},
+            fuse_fill_and_chunks=True,
+            n_turns_hint=actual_turns,
+        )
+        pipe_secs.append(time.time() - t0)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    pipeline_sec = min(pipe_secs)
     out["pipeline_all_tiers"] = round(pipeline_sec, 3)
+    out["pipeline_runs"] = [round(s, 3) for s in pipe_secs]
     for tier, m in metrics["tiers"].items():
         out[f"tier_{tier}"] = round(m["wall_sec"], 3)
 
-    # ---- oracle-checked operator queries at sf_dir
+    # ---- oracle-checked operator queries at sf_dir: 3 repeats, report min
+    n_q = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3"))
     for name in (
         "rollup_1m", "rollup_1d", "fleet_stats_1h", "idw_fill_all",
-        "pair_variogram_types", "dedup_exact", "text_quality",
-        "minhash_bands", "cosine_topk",
+        "pair_variogram_types", "evg_binned", "variogram_fit_dim",
+        "dedup_exact", "text_quality", "minhash_bands", "cosine_topk",
     ):
         fn = Q.queries()[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_q):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
 
     throughput = actual_turns / pipeline_sec
     result = {

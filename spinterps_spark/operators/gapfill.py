@@ -98,11 +98,20 @@ def fill_series(
     kriging system (reference cyth/interpmthds.pyx:588-719: one border per
     drift raster).
 
+    vg_str may also be a per-row array of model strings (the regime
+    broadcast-back path, reference vgclus/tvg_fit.py:58-96): each gap is
+    kriged under ITS OWN bucket's model; solves group by (vg, neighbor-set)
+    so a regime run still costs one factorization per pattern.
+
     Returns (filled_values, est_vars, method_codes). Pure numpy — shared by
     the Spark UDF; the test oracle is an independent reimplementation.
     """
     t = np.asarray(t, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)
+    vg_arr = None
+    if isinstance(vg_str, np.ndarray):
+        vg_arr = vg_str
+        vg_str = None
     if nan_llm is not None or nan_ulm is not None:
         v = v.copy()
         if nan_llm is not None:
@@ -126,10 +135,18 @@ def fill_series(
     t_ref = t[ref_idx]
     v_ref = v[ref_idx]
     kriging = method in ("OK", "SK", "EDK", "IK")
-    if kriging and (vg_str is None or str(vg_str) == "nan"):
-        # reference behavior: interp/steps.py:332-333 raise on NaN variogram
-        raise ValueError("NaN VG!")
-    nuggety = kriging and check_full_nuggetness(vg_str, min_vg_val)
+    vg_gap = None
+    if kriging:
+        if vg_arr is not None:
+            vg_gap = vg_arr[np.flatnonzero(miss)]
+            if any(s is None or str(s) == "nan" for s in vg_gap):
+                # reference behavior: interp/steps.py:332-333 raise on NaN vg
+                raise ValueError("NaN VG!")
+        elif vg_str is None or str(vg_str) == "nan":
+            raise ValueError("NaN VG!")
+    nuggety = (
+        kriging and vg_gap is None and check_full_nuggetness(vg_str, min_vg_val)
+    )
 
     n_ref = len(ref_idx)
     n_gap = len(gap_idx)
@@ -183,10 +200,22 @@ def fill_series(
             codes[gap_idx[g_rows]] = M_IDW
 
         elif method in ("OK", "SK", "EDK", "IK"):
+            kr_rows = g_rows
+            if vg_gap is not None:
+                # per-row vg (regime path): P7 nuggetness decided per gap
+                nug_by_vg = {
+                    s: check_full_nuggetness(s, min_vg_val)
+                    for s in set(vg_gap[g_rows])
+                }
+                is_nug = np.array([nug_by_vg[s] for s in vg_gap[g_rows]])
+                nug_rows = g_rows[is_nug]
+                out[gap_idx[nug_rows]] = zmean[nug_rows]
+                codes[gap_idx[nug_rows]] = M_NUGGET
+                kr_rows = g_rows[~is_nug]
             if nuggety:
                 out[gap_idx[g_rows]] = zmean[g_rows]
                 codes[gap_idx[g_rows]] = M_NUGGET
-            else:
+            elif len(kr_rows):
                 drift_ref = drift_gap = None
                 if method == "EDK":
                     if drifts is None:
@@ -208,10 +237,10 @@ def fill_series(
                     drift_ref = d_all[ref_idx]
                     drift_gap = d_all[gap_idx]
                 _fill_krige(
-                    method, g_rows, nb, dists, zs, nearest, t_ref, v_ref,
+                    method, kr_rows, nb, dists, zs, nearest, t_ref, v_ref,
                     t_gap, vg_str, gap_idx, out, est_var, codes,
                     ik_lim=ik_lim, drift_ref=drift_ref, drift_gap=drift_gap,
-                    pinv_cache=pinv_cache,
+                    pinv_cache=pinv_cache, vg_gap=vg_gap,
                 )
         else:
             raise NotImplementedError(method)
@@ -231,7 +260,7 @@ def fill_series(
 def _fill_krige(
     method, g_rows, nb, dists, zs, nearest, t_ref, v_ref, t_gap, vg_str,
     gap_idx, out, est_var, codes, ik_lim=1.0, drift_ref=None, drift_gap=None,
-    pinv_cache: dict | None = None,
+    pinv_cache: dict | None = None, vg_gap=None,
 ):
     """Kriging solves per gap, grouped by neighbor index-set so each set
     costs one matrix build + pinv (the reference O2 rewrite,
@@ -262,12 +291,17 @@ def _fill_krige(
 
     groups = defaultdict(list)
     for r in g_rows:
-        groups[tuple(nb[r])].append(r)
+        vg_r = vg_gap[r] if vg_gap is not None else vg_str
+        groups[(vg_r, tuple(nb[r]))].append(r)
 
-    total_sill = sum(s for s, _m, _r in parse_vg_str(vg_str))
+    sills = {
+        vg: sum(s for s, _m, _r in parse_vg_str(vg))
+        for vg in {k[0] for k in groups}
+    }
     n_drift = drift_ref.shape[1] if drift_ref is not None else 0
 
-    for key, rows in groups.items():
+    for (vg_str, key), rows in groups.items():
+        total_sill = sills[vg_str]
         kk = len(key)
         key_l = list(key)
         tt = t_ref[key_l]
@@ -394,6 +428,7 @@ def gapfill(
     emit: str = "filled",
     gorilla_chunk: int = 120,
     drift_cols: list[str] | None = None,
+    vg_col: str | None = None,
     **knobs,
 ) -> DataFrame:
     """Fill gaps of `value_col` in a spined rollup (NULL == gap).
@@ -401,6 +436,11 @@ def gapfill(
     vg_dim: optional small dim (cluster_id int, vg_str string) for OK —
     broadcast-joined via coords (conv_id -> cluster_id). Output columns:
     conv_id, bucket_ts, value_filled, est_var, fill_method.
+
+    vg_col: alternatively, a PER-ROW variogram-string column already on
+    `spined` (regime broadcast-back, variogram.broadcast_regime_vg —
+    reference vgclus/tvg_fit.py:58-96): each gap is kriged under its own
+    bucket's model. Mutually exclusive with coords/vg_dim.
 
     drift_cols: EDK external-drift covariate columns already present on
     `spined` (join them with with_drift); m columns -> m border rows/cols
@@ -416,16 +456,22 @@ def gapfill(
     secs = TIER_SECONDS[tier]
 
     drift_cols = list(drift_cols) if drift_cols else []
+    per_row_vg = vg_col is not None
+    kriging = method in ("OK", "SK", "EDK", "IK")
+    if per_row_vg and not kriging:
+        raise ValueError("vg_col only applies to kriging methods")
     df = spined.select(
         "conv_id",
         "bucket_ts",
         _nan_lims_col(F.col(value_col).cast("double"), params).alias("_v"),
         F.unix_timestamp("bucket_ts").alias("_t"),
         *[F.col(c).cast("double").alias(c) for c in drift_cols],
+        *( [F.col(vg_col).alias("vg_str")] if per_row_vg else [] ),
     )
 
-    kriging = method in ("OK", "SK", "EDK", "IK")
-    if kriging:
+    if per_row_vg:
+        pass  # vg already rides each row
+    elif kriging:
         if coords is None or vg_dim is None:
             raise ValueError(f"{method} needs coords (conv_id->cluster_id) and vg_dim")
         dim = coords.select("conv_id", "cluster_id").join(
@@ -524,7 +570,9 @@ def gapfill(
         codes = np.empty(len(pdf), dtype=object)
         for s, e in zip(starts, ends):
             vg = None
-            if kriging:
+            if per_row_vg:
+                vg = vg_all[s:e]
+            elif kriging:
                 nn = pd.notna(vg_all[s:e])
                 vg = vg_all[s:e][nn][0] if nn.any() else "nan"
             f, ev, cd = fill_series(

@@ -2,11 +2,16 @@
 
 Image/audio/video are treated as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas functions over mapInPandas. The codec libraries (PIL/ffmpeg/...)
-are not in this sandbox, so the *decode kernels* are stubbed: a
-deterministic fake decoder by default (schema-true outputs, testable
-plumbing) or NotImplementedError when strict=True. The Spark-side contract
-— schema, partition sizing, UDF signature, Arrow batch shape — is real.
+pandas functions over mapInPandas.
+
+Decode status (VERDICT r2 next-step #5): AUDIO decode is REAL — payloads
+are RIFF/WAVE PCM16 and decode_wav is a pure-stdlib parser (struct chunk
+walk, no codec libs needed), with features derived from exact integer
+aggregates so the DuckDB oracle reproduces them bit-for-bit. Image/video
+decode remains the declared stub boundary (_fake_decode — PIL/ffmpeg absent
+in this sandbox): deterministic byte-moment features by default,
+NotImplementedError under strict=True. The Spark-side contract — schema,
+partition sizing, UDF signature, Arrow batch shape — is real for all kinds.
 
 Scale notes: payloads never pass through Python row-by-row (Arrow batches),
 batch memory is bounded by spark.sql.execution.arrow.maxRecordsPerBatch,
@@ -15,6 +20,8 @@ and media tables should be read with small files coalesced
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -30,19 +37,67 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes long, digest string"
 
 
+WAV_SAMPLE_RATE = 16000
+
+
+def synth_wav(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM16 mono, 44-byte header +
+    little-endian int16 data (the public WAVE format spec; parity-checked
+    against the stdlib `wave` writer in tests)."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode, pure stdlib: walk RIFF chunks to 'fmt '/'data',
+    require PCM16 mono, return (int16 samples, sample_rate)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or n_channels != 1 or bits != 16:
+        raise ValueError(f"only PCM16 mono supported, got {fmt}")
+    return np.frombuffer(data, dtype="<i2"), int(sample_rate)
+
+
 def media_rows(n: int = 64, seed: int = 5) -> list[tuple]:
-    """Deterministic fake media rows (shared by synth_media and the fixture
+    """Deterministic media rows (shared by synth_media and the fixture
     parquet writer so the Spark query and the DuckDB oracle see identical
-    bytes)."""
+    bytes). Audio rows carry REAL PCM16 WAV payloads; image/video stay
+    opaque seeded bytes (their decoders are the stub boundary)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(128 + (i * 37) % 512)
-        rows.append(
-            (i, kind, payload, (64 + i % 32, 48, 1 + i % 8, 16000))
-        )
+        if kind == "audio":
+            n_samples = 64 + (i * 37) % 256
+            samples = rng.randint(-(2**15), 2**15, n_samples).astype(np.int16)
+            payload = synth_wav(samples)
+            meta = (0, 0, n_samples, WAV_SAMPLE_RATE)
+        else:
+            payload = rng.bytes(128 + (i * 37) % 512)
+            meta = (64 + i % 32, 48, 1 + i % 8, WAV_SAMPLE_RATE)
+        rows.append((i, kind, payload, meta))
     return rows
 
 
@@ -53,27 +108,62 @@ def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: feature = byte-histogram
-    moments. Replace with PIL/torchvision/ffmpeg in production — marked
-    clearly as the STUB boundary."""
+    """Deterministic stand-in for a real IMAGE/VIDEO decoder: feature =
+    byte-histogram moments. Replace with PIL/torchvision/ffmpeg in
+    production — marked clearly as the STUB boundary (audio is real)."""
     a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     feats = [a.mean(), a.std(), a.min(), a.max()]
     feats += [float(np.mean(a[k::4])) for k in range(dim - 4)]
     return np.array(feats[:dim], dtype=np.float32)
 
 
+def _audio_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """REAL audio feature extraction over decoded PCM16: every feature is
+    derived from exact integer aggregates (sums, counts, peaks) with one
+    final float op, so a SQL oracle reproduces them bit-for-bit — no
+    cross-engine float-reduction drift.
+
+    Layout: [n_samples, sample_rate, mean_amp, rms, zero_cross_rate, peak,
+    duration_sec, 0...]."""
+    s, sr = decode_wav(payload)
+    n = len(s)
+    a = s.astype(np.int64)
+    sum_amp = int(a.sum())
+    sum_sq = int((a * a).sum())
+    zc = int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if n > 1 else 0
+    peak = int(np.abs(a).max()) if n else 0
+    feats = [
+        float(n), float(sr),
+        sum_amp / n if n else 0.0,
+        float(np.sqrt(sum_sq / n)) if n else 0.0,   # sqrt is IEEE-exact
+        zc / (n - 1) if n > 1 else 0.0,
+        float(peak),
+        n / sr,
+    ]
+    feats += [0.0] * max(0, dim - len(feats))
+    return np.array(feats[:dim], dtype=np.float32)
+
+
 def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
-    """Binary payload -> feature vector via mapInPandas (Arrow batches)."""
+    """Binary payload -> feature vector via mapInPandas (Arrow batches).
+
+    Audio rows ALWAYS decode for real (RIFF/WAVE PCM16, pure stdlib).
+    strict=True forbids the image/video stub: it raises iff such rows are
+    present, and passes on audio-only tables."""
 
     def run(batches):
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires codec libs absent in sandbox"
-                )
-            feats = [
-                _fake_decode(bytes(p), dim).tolist() for p in pdf["payload"]
-            ]
+            feats = []
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
+                if kind == "audio":
+                    feats.append(_audio_features(bytes(p), dim).tolist())
+                elif strict:
+                    raise NotImplementedError(
+                        f"real {kind} decode requires codec libs absent "
+                        "in sandbox (audio decode is real)"
+                    )
+                else:
+                    feats.append(_fake_decode(bytes(p), dim).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -112,13 +202,16 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
 
 
 def resize_meta(media: DataFrame, max_w: int = 32) -> DataFrame:
-    """Resize planning is pure metadata math -> stays JVM-side entirely."""
+    """Resize planning is pure metadata math -> stays JVM-side entirely.
+    Non-visual rows (width 0, e.g. audio) get NULL resize columns."""
     w = F.col("meta.width")
-    scale = F.least(F.lit(1.0), F.lit(max_w) / w)
+    scale = F.least(F.lit(1.0), F.lit(max_w) / F.nullif(w, F.lit(0)))
+    visual = w > 0
     return media.select(
         "media_id", "kind",
         w.alias("width"),
         F.col("meta.height").alias("height"),
-        F.round(w * scale).cast("int").alias("new_width"),
-        F.round(F.col("meta.height") * scale).cast("int").alias("new_height"),
+        F.when(visual, F.round(w * scale)).cast("int").alias("new_width"),
+        F.when(visual, F.round(F.col("meta.height") * scale)).cast("int")
+        .alias("new_height"),
     )

@@ -31,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from spinterps_spark.functions.vg_models import VG_SENTINEL
+
 MODEL_MIXES = (
     ["Sph"], ["Exp"], ["Gau"], ["Lin"],
     ["Nug", "Sph"], ["Nug", "Exp"],
@@ -427,6 +429,43 @@ def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:
         return pd.DataFrame(row)
 
     return evg.groupBy(*keys).applyInPandas(fit_group, schema=schema)
+
+
+def broadcast_regime_vg(
+    spined: DataFrame,
+    coords: DataFrame,
+    vg_regime_dim: DataFrame,
+    vg_global_dim: DataFrame,
+    regime_expr,
+) -> DataFrame:
+    """Broadcast the per-(cluster, regime) fitted dim back to a per-(conv,
+    bucket) `vg_str` column consumable by gapfill(..., vg_col='vg_str')
+    (reference vgclus/tvg_fit.py:58-96: the fitted time-varying model series
+    is broadcast back onto the step table).
+
+    Fallback rule: a (cluster, regime) cell with no fit (absent or the 'nan'
+    sentinel — too few bins in that regime) takes the cluster's GLOBAL fit,
+    so every bucket always has a usable model. Both dims are tiny and
+    broadcast; the fact join stays a single narrow pass over `spined`.
+    """
+    dim = coords.select("conv_id", "cluster_id")
+    reg = vg_regime_dim.select(
+        "cluster_id", "regime", F.col("vg_str").alias("_vg_regime")
+    )
+    glo = vg_global_dim.select("cluster_id", F.col("vg_str").alias("_vg_global"))
+    out = (
+        spined.withColumn("regime", regime_expr)
+        .join(F.broadcast(dim), "conv_id")
+        .join(F.broadcast(reg), ["cluster_id", "regime"], "left")
+        .join(F.broadcast(glo), "cluster_id", "left")
+    )
+    vg = F.coalesce(
+        F.when(F.col("_vg_regime") != VG_SENTINEL, F.col("_vg_regime")),
+        F.col("_vg_global"),
+    )
+    return out.withColumn("vg_str", vg).drop(
+        "_vg_regime", "_vg_global", "cluster_id"
+    )
 
 
 # ------------------------------------------------------ K7: KS clustering

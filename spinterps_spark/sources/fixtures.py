@@ -72,8 +72,9 @@ MEDIA_N = 96
 
 def media_path(n: int = MEDIA_N, seed: int = 5) -> str:
     """Deterministic media fixture parquet (multimodal oracle input): the
-    same bytes synth_media builds, written once so DuckDB can read them."""
-    path = os.path.join(FIXTURE_DIR, f"media_{n}_{seed}.parquet")
+    same bytes synth_media builds, written once so DuckDB can read them.
+    v2: audio payloads are real RIFF/WAVE PCM16 (multimodal.synth_wav)."""
+    path = os.path.join(FIXTURE_DIR, f"media_v2_{n}_{seed}.parquet")
     if not os.path.exists(path):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         from spinterps_spark.operators.multimodal import media_rows
@@ -93,6 +94,62 @@ def media_path(n: int = MEDIA_N, seed: int = 5) -> str:
                      for r in rows],
                     meta_type,
                 ),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+LANG_DOCS_N_PER_LANG = 40
+LANG_DOCS_SEED = 9
+
+# language-neutral content pool for the lang-ID fixture (domain nouns the
+# stopword tables never contain)
+_CONTENT_POOL = (
+    "spark rollup bucket kriging variogram chunk gorilla tier spine conv "
+    "turn token cluster lag sill range drift shuffle salt partition"
+).split()
+
+
+def lang_docs_path(
+    n_per_lang: int = LANG_DOCS_N_PER_LANG, seed: int = LANG_DOCS_SEED
+) -> str:
+    """Deterministic multi-language document fixture: each doc mixes shared
+    content tokens with ~35% stopwords drawn from ONE language's public
+    table (functions/langid.py), plus stopword-free 'unk' docs — the seeded
+    non-English docs a real language-ID operator must separate."""
+    path = os.path.join(FIXTURE_DIR, f"lang_docs_{n_per_lang}_{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        import numpy as np
+
+        from spinterps_spark.functions.langid import STOPWORDS_BY_LANG
+
+        rng = np.random.RandomState(seed)
+        rows = []
+        doc_id = 0
+        for lang in list(STOPWORDS_BY_LANG) + ["unk"]:
+            words = STOPWORDS_BY_LANG.get(lang, ())
+            for _ in range(n_per_lang):
+                n_tok = int(rng.randint(30, 80))
+                toks = [
+                    _CONTENT_POOL[rng.randint(len(_CONTENT_POOL))]
+                    for _ in range(n_tok)
+                ]
+                if words:
+                    n_sw = max(2, int(0.35 * n_tok))
+                    pos = rng.choice(n_tok, size=min(n_sw, n_tok), replace=False)
+                    for p in pos:
+                        toks[int(p)] = words[rng.randint(len(words))]
+                rows.append((doc_id, lang, " ".join(toks)))
+                doc_id += 1
+        table = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang_true": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
             }
         )
         tmp = path + ".tmp"

@@ -126,9 +126,242 @@ def spine_pandas(rollup: pd.DataFrame, tier_seconds: int) -> pd.DataFrame:
         g = grp.set_index("bucket_ts").reindex(idx)
         g.index.name = "bucket_ts"
         g["conv_id"] = conv
-        g["valid"] = g["valid"].fillna(False).astype(bool)
+        g["valid"] = g["valid"].eq(True)  # NaN (spine gap) -> False
         out.append(g.reset_index())
     return pd.concat(out, ignore_index=True)
+
+
+# ------------------------------------------------- empirical variogram
+
+def _dec_quantized_sum(vals, scale: int) -> float:
+    """Replica of Spark's sum(cast(double AS decimal(38,scale)))::double:
+    each double goes through its shortest decimal string (Java
+    Double.toString == Python repr digits), is rounded HALF_UP at `scale`
+    fractional digits, summed exactly, and the exact sum converts back to
+    the nearest double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    s = Decimal(0)
+    for x in vals:
+        s += Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+    return float(s)
+
+
+def evg_binned_oracle(
+    series: pd.DataFrame,
+    coords: pd.DataFrame,
+    max_lag: float = 48 * 3600,
+    lag_width: float = 3600.0,
+    regime: bool = False,
+) -> pd.DataFrame:
+    """Independent 'mean'-estimator empirical variogram: per-conversation
+    O(n^2) pair enumeration (no horizon bucketing — the thing the engine
+    optimizes), pooled per cluster[, regime], constant-width bins, with the
+    engine's decimal-exact aggregate semantics replicated digit-for-digit.
+    series: (conv_id, t_epoch_sec, z[, regime])."""
+    cl = dict(zip(coords["conv_id"], coords["cluster_id"]))
+    rows = []
+    for conv, grp in series.groupby("conv_id", sort=True):
+        t = grp["t"].to_numpy(np.int64)
+        z = grp["z"].to_numpy(np.float64)
+        order = np.argsort(t, kind="stable")
+        t, z = t[order], z[order]
+        reg = grp["regime"].to_numpy()[order] if regime else None
+        dt = t[None, :] - t[:, None]
+        keep = (dt > 0) & (dt <= max_lag)
+        if regime:
+            keep &= reg[None, :] == reg[:, None]
+        iu, ju = np.nonzero(keep)
+        if len(iu) == 0:
+            continue
+        h = (t[ju] - t[iu]).astype(np.float64)
+        sq = (z[iu] - z[ju]) ** 2
+        r = pd.DataFrame(
+            {"cluster_id": cl[conv], "h": h, "sq": sq,
+             "bin": np.floor(h / lag_width).astype(np.int64)}
+        )
+        if regime:
+            r["regime"] = reg[iu]
+        rows.append(r)
+    pairs = pd.concat(rows, ignore_index=True)
+    keys = ["cluster_id"] + (["regime"] if regime else []) + ["bin"]
+    out = []
+    for key, grp in pairs.groupby(keys, sort=True):
+        n = len(grp)
+        lag = _dec_quantized_sum(grp["h"], 6) / n
+        gamma = (0.5 * _dec_quantized_sum(grp["sq"], 10)) / n
+        out.append((*key, n, lag, gamma))
+    return pd.DataFrame(
+        out, columns=keys[:-1] + ["bin", "n_pairs", "lag", "gamma"]
+    )
+
+
+# --------------------------------------------------------- DE model fit
+
+ORACLE_MODEL_MIXES = (
+    ["Sph"], ["Exp"], ["Gau"], ["Lin"],
+    ["Nug", "Sph"], ["Nug", "Exp"],
+)
+
+
+def de_minimize_oracle(obj, bounds, seed, n_pop=24, n_iter=120, f_w=0.8, cr=0.9):
+    """rand/1/bin differential evolution (Storn & Price 1997), written to
+    the same published spec as the engine's: seeded RandomState stream,
+    uniform init, per-member mutation/crossover/greedy-select. Bit-exact
+    reproducibility REQUIRES the same RNG call order, so the stream
+    structure matches by construction; the model-curve evaluation inside
+    `obj` is this module's own vg_eval, not the engine's."""
+    rng = np.random.RandomState(seed)
+    d = len(bounds)
+    lo, hi = bounds[:, 0], bounds[:, 1]
+    pop = lo + rng.rand(n_pop, d) * (hi - lo)
+    costs = np.array([obj(x) for x in pop])
+    for _ in range(n_iter):
+        for i in range(n_pop):
+            idx = rng.choice(n_pop, 3, replace=False)
+            mutant = np.clip(pop[idx[0]] + f_w * (pop[idx[1]] - pop[idx[2]]), lo, hi)
+            cross = rng.rand(d) < cr
+            cross[rng.randint(d)] = True
+            trial = np.where(cross, mutant, pop[i])
+            c = obj(trial)
+            if c <= costs[i]:
+                pop[i] = trial
+                costs[i] = c
+    best = int(np.argmin(costs))
+    return pop[best], costs[best]
+
+
+def fit_vg_oracle(lags, gammas, n_pairs=None, mixes=ORACLE_MODEL_MIXES, seed=1):
+    """Weighted-SSE DE fit + AIC pick (reference variograms/vgs.py:661-848
+    semantics), independent of the engine: curves come from vg_eval above."""
+    lags = np.asarray(lags, dtype=np.float64)
+    gammas = np.asarray(gammas, dtype=np.float64)
+    ok = np.isfinite(lags) & np.isfinite(gammas)
+    lags, gammas = lags[ok], gammas[ok]
+    if n_pairs is not None:
+        n_pairs = np.asarray(n_pairs, dtype=np.float64)[ok]
+    if len(lags) < 3:
+        return "nan", float("inf")
+    if n_pairs is not None:
+        wts = n_pairs / np.maximum(gammas, 1e-12) ** 2
+    else:
+        wts = np.ones_like(lags)
+    var2 = 2.0 * max(float(np.var(gammas)), float(np.max(gammas)), 1e-6)
+    min_lag, max_lag = float(lags.min()), float(lags.max())
+    fits = []
+    for mix in mixes:
+        k = 2 * len(mix)
+
+        def obj(x, _mix=mix):
+            g = np.zeros_like(lags)
+            for m_i, name in enumerate(_mix):
+                g += vg_eval(f"{x[2 * m_i]} {name}({x[2 * m_i + 1]})", lags)
+            return float(np.sum(wts * (gammas - g) ** 2))
+
+        bounds = []
+        for name in mix:
+            if name == "Nug":
+                bounds.append([1e-9, var2])
+                bounds.append([1e-5, 1.0])
+            else:
+                bounds.append([1e-9, var2])
+                bounds.append([min_lag, max_lag * 2.0])
+        x, cost = de_minimize_oracle(obj, np.array(bounds), seed=seed)
+        n = len(lags)
+        aic = n * np.log(max(cost, 1e-300)) + 2 * k
+        parts = " + ".join(
+            f"{x[2 * i]:.6f} {name}({x[2 * i + 1]:.6f})" for i, name in enumerate(mix)
+        )
+        fits.append((float(aic), parts))
+    fits.sort(key=lambda f: f[0])
+    return fits[0][1], fits[0][0]
+
+
+def fit_vg_nbest_oracle(lags, gammas, n_pairs=None, n_best=3, seed=1):
+    results = []
+    for mix in ORACLE_MODEL_MIXES:
+        s, a = fit_vg_oracle(lags, gammas, n_pairs, mixes=(mix,), seed=seed)
+        if s != "nan":
+            results.append((a, s))
+    results.sort(key=lambda f: f[0])
+    return results[:n_best]
+
+
+# ------------------------------------------------------ KS cluster merge
+
+def ok_weight_sample_oracle(vg_str, seed, n_cfgs=24, k=6, horizon=48 * 3600):
+    """Sorted OK-weight sample over seeded random neighbor configs — the
+    engine's quirks preserved deliberately: the Lagrange corner a[k,k] ends
+    up 1.0 (row then full-column assignment), diag(gamma)=0."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n_cfgs):
+        offs = np.sort(rng.uniform(-horizon, horizon, k))
+        dmat = np.abs(offs[:, None] - offs[None, :])
+        a = np.zeros((k + 1, k + 1))
+        g = vg_eval(vg_str, dmat.ravel()).reshape(k, k)
+        np.fill_diagonal(g, 0.0)
+        a[:k, :k] = g
+        a[k, :k] = 1.0
+        a[:, k] = 1.0
+        rhs = np.zeros(k + 1)
+        rhs[:k] = vg_eval(vg_str, np.abs(offs))
+        rhs[k] = 1.0
+        lm = np.linalg.pinv(a) @ rhs
+        out.append(lm[:k])
+    return np.sort(np.concatenate(out))
+
+
+def ks_stat_oracle(a, b):
+    allv = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def ks_merge_oracle(dim: pd.DataFrame, alpha_c=1.36, seed=11, n_cfgs=24, k=6):
+    """Greedy KS merge + mean-curve refit, straight-line loop (no rep-sample
+    memoization — the engine's memo must be value-invisible)."""
+    items = list(dim[["cluster_id", "vg_str"]].itertuples(index=False))
+    samples = {
+        c: ok_weight_sample_oracle(v, seed=seed + int(c), n_cfgs=n_cfgs, k=k)
+        for c, v in items if v != "nan"
+    }
+    by_id = {i.cluster_id: i.vg_str for i in items}
+    merged, reps = {}, {}
+    for c, v in items:
+        if v == "nan":
+            merged[c] = [c]
+            reps[c] = v
+            continue
+        placed = False
+        for m_id in list(reps):
+            if reps[m_id] == "nan":
+                continue
+            a = samples[c]
+            b = ok_weight_sample_oracle(
+                reps[m_id], seed=seed + 10_000 + m_id, n_cfgs=n_cfgs, k=k
+            )
+            d = ks_stat_oracle(a, b)
+            thr = alpha_c * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+            if d <= thr:
+                merged[m_id].append(c)
+                lags = np.linspace(60, 72 * 3600, 64)
+                curves = [vg_eval(by_id[m], lags) for m in merged[m_id]]
+                mean_curve = np.mean(np.stack(curves), axis=0)
+                new_vg, _aic = fit_vg_oracle(lags, mean_curve, seed=seed)
+                reps[m_id] = new_vg
+                placed = True
+                break
+        if not placed:
+            merged[c] = [c]
+            reps[c] = v
+    rows = []
+    for m_id, members in merged.items():
+        for c in members:
+            rows.append((c, m_id, reps[m_id]))
+    return pd.DataFrame(rows, columns=["cluster_id", "merged_id", "vg_str"])
 
 
 # ----------------------------------------------------------- gap fill
@@ -229,7 +462,7 @@ def fill_one(
 
 def fill_series_oracle(
     t, v, method, vg_str=None, round_p=2, min_cut=None, max_cut=None,
-    drifts=None, **kw
+    drifts=None, vg_per_row=None, **kw
 ):
     t = np.asarray(t, float)
     v = np.asarray(v, float)
@@ -243,7 +476,8 @@ def fill_series_oracle(
     for j in np.flatnonzero(np.isnan(v)):
         if drifts is not None:
             kw = {**kw, "drift_ref": drifts[refs], "drift_tgt": drifts[j]}
-        est, ev, code = fill_one(t[j], t[refs], v[refs], method, vg_str, **kw)
+        vg_j = vg_per_row[j] if vg_per_row is not None else vg_str
+        est, ev, code = fill_one(t[j], t[refs], v[refs], method, vg_j, **kw)
         if code != "unfillable":
             if min_cut is not None:
                 est = max(est, min_cut)

@@ -226,7 +226,71 @@ def test_multimodal_plumbing(spark):
     assert (frames["frame_idx"] % 2 == 0).all()
 
     rs = M.resize_meta(media, max_w=32).toPandas()
-    assert (rs["new_width"] <= 32).all()
+    vis = rs["width"] > 0
+    assert (rs.loc[vis, "new_width"] <= 32).all()
+    assert rs.loc[~vis, "new_width"].isna().all()  # audio: no resize plan
 
     with pytest.raises(Exception):
         M.extract_features(media, strict=True).collect()
+
+
+def test_lang_id_separates_seeded_languages(spark):
+    """VERDICT r2 next-step #6: lang_pred distinguishes the seeded
+    non-English fixture docs — every en/fr/de/es doc classified correctly,
+    stopword-free docs -> 'unk'."""
+    from spinterps_spark import queries as Q
+
+    out = Q.queries()["lang_id"](spark, "/root/testdata/sf0.01").toPandas()
+    assert set(out["lang_true"]) == {"en", "fr", "de", "es", "unk"}
+    acc = (out["lang_pred"] == out["lang_true"]).mean()
+    assert acc == 1.0, out[out["lang_pred"] != out["lang_true"]].head()
+
+
+def test_wav_codec_matches_stdlib_wave():
+    """The pure-struct WAV writer/parser agrees with the stdlib `wave`
+    module in both directions (independent implementation of the spec)."""
+    import io
+    import wave
+
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-(2**15), 2**15, 200).astype(np.int16)
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    w.writeframes(samples.tobytes())
+    w.close()
+    s, sr = M.decode_wav(buf.getvalue())
+    assert sr == 16000 and (s == samples).all()
+
+    r = wave.open(io.BytesIO(M.synth_wav(samples)), "rb")
+    assert (r.getnchannels(), r.getsampwidth(), r.getframerate()) == (1, 2, 16000)
+    back = np.frombuffer(r.readframes(r.getnframes()), dtype="<i2")
+    assert (back == samples).all()
+
+    with pytest.raises(ValueError):
+        M.decode_wav(b"not a wav at all........")
+
+
+def test_audio_decode_is_real_and_strict_passes(spark):
+    """VERDICT r2 next-step #5: strict=True succeeds on audio-only media
+    (real RIFF/WAVE PCM16 decode), and features match a direct decode."""
+    media = M.synth_media(spark, n=30)
+    audio = media.where("kind = 'audio'")
+    out = M.extract_features(audio, strict=True).toPandas()
+    assert len(out) == 10
+
+    row = audio.limit(1).collect()[0]
+    s, sr = M.decode_wav(bytes(row["payload"]))
+    got = np.array(
+        out[out["media_id"] == row["media_id"]]["feature"].iloc[0],
+        dtype=np.float32,
+    )
+    n = len(s)
+    a = s.astype(np.int64)
+    assert got[0] == np.float32(n)
+    assert got[1] == np.float32(sr)
+    assert got[3] == np.float32(np.sqrt(int((a * a).sum()) / n))
+    assert got[5] == np.float32(int(np.abs(a).max()))

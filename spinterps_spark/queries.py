@@ -456,14 +456,30 @@ FROM agg
 EVG_LAG = 200.0
 
 
+EVG_SALT = 4
+
+
 def q_evg_binned(spark, sf_dir) -> DataFrame:
     """A5 constant-width-bin empirical variogram input: all same-cluster
-    coordinate pairs i<j, binned by floor(dist/lag) (J9 pair join)."""
+    coordinate pairs i<j, binned by floor(dist/lag) (J9 pair join).
+
+    Skew note (r3): cluster_id alone has only ~8 distinct values, so a
+    plain self-join runs 8 tasks no matter how many cores — the left side
+    additionally joins on the RIGHT row's conv-hash salt (exploded to all
+    EVG_SALT values), giving 8*EVG_SALT balanced keys. Each unordered pair
+    still matches exactly once (the right row has one salt), and the
+    decimal-sum aggregate is order-insensitive, so output is identical."""
     c = fixtures.load_coords(_utc(spark), sf_dir)
-    a, b = c.alias("a"), c.alias("b")
-    j = a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id")).where(
-        F.col("a.conv_id") < F.col("b.conv_id")
-    )
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(EVG_SALT))
+    a = c.withColumn(
+        "_peer", F.explode(F.array(*[F.lit(i) for i in range(EVG_SALT)]))
+    ).alias("a")
+    b = c.withColumn("_salt", salt.cast("int")).alias("b")
+    j = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a._peer") == F.col("b._salt")),
+    ).where(F.col("a.conv_id") < F.col("b.conv_id"))
     d = F.sqrt(
         (F.col("a.x") - F.col("b.x")) ** 2 + (F.col("a.y") - F.col("b.y")) ** 2
     )
@@ -472,9 +488,13 @@ def q_evg_binned(spark, sf_dir) -> DataFrame:
         "cluster_id", F.floor(F.col("d") / EVG_LAG).alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
+        # exact order-insensitive accumulation WITHOUT the decimal agg (a
+        # 10x CPU tax at 36M pairs, r3 bench): quantize d to 1e-6 fixed
+        # point (floor(d*1e6 + 0.5), pure arithmetic so DuckDB replicates
+        # it bit-for-bit), sum as long (codegen path, exact), divide once
         F.round(
-            F.sum(F.col("d").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(F.floor(F.col("d") * 1e6 + 0.5).cast("long")).cast("double")
+            / 1e6 / F.count(F.lit(1)),
             4,
         ).alias("mean_dist"),
     )
@@ -489,7 +509,7 @@ pairs AS (
 )
 SELECT cluster_id, CAST(floor(d / {EVG_LAG}) AS BIGINT) AS bin,
        count(*) AS n_pairs,
-       round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist
+       round(CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 4) AS mean_dist
 FROM pairs GROUP BY 1, 2
 """
 
@@ -516,7 +536,7 @@ pairs AS (
 ),
 binned AS (
   SELECT cluster_id, CAST(floor(d / {EVG_LAG}) AS BIGINT) AS bin,
-         round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist
+         round(CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 4) AS mean_dist
   FROM pairs GROUP BY 1, 2
 )
 SELECT cluster_id, bin, mean_dist,
@@ -912,12 +932,14 @@ def q_evg_ntile_bins(spark, sf_dir) -> DataFrame:
     j = j.withColumn("tile", F.ntile(10).over(w))
     return j.groupBy("cluster_id", "tile").agg(
         F.count(F.lit(1)).alias("n_pairs"),
+        # fixed-point / integer sums instead of decimal aggs (exact AND on
+        # the codegen fast path — decimal was the 10x tax, r3 bench)
         F.round(
-            F.sum(F.col("d").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)), 4,
+            F.sum(F.floor(F.col("d") * 1e6 + 0.5).cast("long")).cast("double")
+            / 1e6 / F.count(F.lit(1)), 4,
         ).alias("mean_dist"),
         F.round(
-            F.lit(0.5) * F.sum(F.col("sq").cast("decimal(38,0)")).cast("double")
+            F.lit(0.5) * F.sum(F.col("sq").cast("long")).cast("double")
             / F.count(F.lit(1)), 6,
         ).alias("gamma"),
     )
@@ -942,8 +964,8 @@ tiled AS (
   FROM pairs
 )
 SELECT cluster_id, tile, count(*) AS n_pairs,
-       round(CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS mean_dist,
-       round(0.5 * CAST(sum(CAST(sq AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6) AS gamma
+       round(CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 4) AS mean_dist,
+       round(0.5 * CAST(sum(CAST(sq AS BIGINT)) AS DOUBLE) / count(*), 6) AS gamma
 FROM tiled GROUP BY 1, 2
 """
 

@@ -4,14 +4,17 @@ Image/audio/video are treated as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over mapInPandas.
 
-Decode status (VERDICT r2 next-step #5): AUDIO decode is REAL — payloads
-are RIFF/WAVE PCM16 and decode_wav is a pure-stdlib parser (struct chunk
-walk, no codec libs needed), with features derived from exact integer
-aggregates so the DuckDB oracle reproduces them bit-for-bit. Image/video
-decode remains the declared stub boundary (_fake_decode — PIL/ffmpeg absent
-in this sandbox): deterministic byte-moment features by default,
-NotImplementedError under strict=True. The Spark-side contract — schema,
-partition sizing, UDF signature, Arrow batch shape — is real for all kinds.
+Decode status (r3): ALL THREE modalities decode for REAL with pure-stdlib
+parsers of public formats — no codec libs needed, no stub boundary left:
+  - audio: RIFF/WAVE PCM16 (decode_wav, struct chunk walk);
+  - image: BMP BITMAPINFOHEADER 24-bit BI_RGB (decode_bmp, incl. row
+    stride padding and top-down negative-height bitmaps);
+  - video: YUV4MPEG2 / .y4m mono (decode_y4m, plain-text header + FRAME
+    markers — the mjpegtools public stream format).
+Features are derived from exact integer aggregates (sums/min/max over
+pixel/sample ints, one final float op), so the DuckDB oracle twin decodes
+the same payload bytes from hex() and reproduces every feature
+bit-for-bit — the decode itself is value-checked, not just the plumbing.
 
 Scale notes: payloads never pass through Python row-by-row (Arrow batches),
 batch memory is bounded by spark.sql.execution.arrow.maxRecordsPerBatch,
@@ -79,11 +82,114 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2"), int(sample_rate)
 
 
+def synth_bmp(px: np.ndarray) -> bytes:
+    """Minimal canonical BMP writer: BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up BGR rows padded to 4-byte
+    stride (the public Windows DIB format). px is (h, w, 3) uint8 RGB."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r][:, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(rows)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return hdr + dib + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode, pure stdlib: parse the BMP file + info headers,
+    require 24-bit uncompressed BI_RGB, un-pad the 4-byte row stride, and
+    return (h, w, 3) uint8 RGB. Handles both bottom-up (positive height)
+    and top-down (negative height) bitmaps."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_sig, _fsize, _r1, _r2, data_off) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h_signed, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB supported, got hdr={hdr_size} planes={planes} "
+            f"bpp={bpp} compression={compression}"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up -> top-down
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def synth_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Minimal canonical YUV4MPEG2 writer: plain-text stream header with
+    W/H/F/C tokens, then 'FRAME\\n' + raw luma bytes per frame (Cmono =
+    8-bit greyscale, the mjpegtools public .y4m format). frames is
+    (n, h, w) uint8."""
+    n, h, w = frames.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    out = [hdr]
+    for f in np.asarray(frames, dtype=np.uint8):
+        out.append(b"FRAME\n" + f.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL video decode, pure stdlib: parse the YUV4MPEG2 header tokens
+    (require Cmono), walk FRAME markers (frame-level parameters after
+    'FRAME' are allowed per spec), return ((n, h, w) uint8 luma, fps)."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(Y4M_MAGIC + b" "):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    colorspace = "C420"  # spec default when no C token
+    for tok in payload[len(Y4M_MAGIC) + 1 : nl].decode("ascii").split():
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("missing W/H header tokens")
+    if colorspace != "Cmono":
+        raise ValueError(f"only Cmono supported, got {colorspace}")
+    fsz = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or len(payload) < fnl + 1 + fsz:
+            raise ValueError("truncated frame")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=fsz, offset=fnl + 1)
+            .reshape(h, w)
+        )
+        pos = fnl + 1 + fsz
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), int(fps or 0)
+
+
 def media_rows(n: int = 64, seed: int = 5) -> list[tuple]:
     """Deterministic media rows (shared by synth_media and the fixture
     parquet writer so the Spark query and the DuckDB oracle see identical
-    bytes). Audio rows carry REAL PCM16 WAV payloads; image/video stay
-    opaque seeded bytes (their decoders are the stub boundary)."""
+    bytes). v3: every payload is a REAL public container — RIFF/WAVE PCM16
+    audio, 24-bit BI_RGB BMP images, YUV4MPEG2 Cmono video. Fixture image
+    widths are multiples of 4 (zero stride padding) so the hex-decoding
+    SQL twin reads the pixel region directly; the decoder itself handles
+    padded strides too (pytest covers odd widths)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -94,9 +200,16 @@ def media_rows(n: int = 64, seed: int = 5) -> list[tuple]:
             samples = rng.randint(-(2**15), 2**15, n_samples).astype(np.int16)
             payload = synth_wav(samples)
             meta = (0, 0, n_samples, WAV_SAMPLE_RATE)
+        elif kind == "image":
+            w, h = 8 + 4 * (i % 12), 6 + i % 7
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            payload = synth_bmp(px)
+            meta = (w, h, 1, 0)
         else:
-            payload = rng.bytes(128 + (i * 37) % 512)
-            meta = (64 + i % 32, 48, 1 + i % 8, WAV_SAMPLE_RATE)
+            w, h, nf = 16 + 4 * (i % 9), 12, 1 + i % 8
+            frames = rng.randint(0, 256, (nf, h, w)).astype(np.uint8)
+            payload = synth_y4m(frames)
+            meta = (w, h, nf, 0)
         rows.append((i, kind, payload, meta))
     return rows
 
@@ -107,13 +220,46 @@ def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in for a real IMAGE/VIDEO decoder: feature =
-    byte-histogram moments. Replace with PIL/torchvision/ffmpeg in
-    production — marked clearly as the STUB boundary (audio is real)."""
-    a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    feats = [a.mean(), a.std(), a.min(), a.max()]
-    feats += [float(np.mean(a[k::4])) for k in range(dim - 4)]
+def _image_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """REAL image feature extraction over decoded BMP pixels: per-channel
+    means and global min/max from exact integer aggregates (one final float
+    div each), channel aggregates are row-order-insensitive so the SQL twin
+    needn't replay the bottom-up row flip.
+
+    Layout: [width, height, mean_r, mean_g, mean_b, px_min, px_max, 0...]."""
+    px = decode_bmp(payload)
+    h, w, _ = px.shape
+    n = w * h
+    a = px.astype(np.int64)
+    feats = [
+        float(w), float(h),
+        int(a[:, :, 0].sum()) / n,
+        int(a[:, :, 1].sum()) / n,
+        int(a[:, :, 2].sum()) / n,
+        float(int(a.min())),
+        float(int(a.max())),
+    ]
+    feats += [0.0] * max(0, dim - len(feats))
+    return np.array(feats[:dim], dtype=np.float32)
+
+
+def _video_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """REAL video feature extraction over decoded Y4M luma planes: exact
+    integer aggregates over all frames plus the first frame.
+
+    Layout: [width, height, n_frames, luma_mean, luma_min, luma_max,
+    f0_mean, 0...]."""
+    frames, _fps = decode_y4m(payload)
+    nf, h, w = frames.shape
+    a = frames.astype(np.int64)
+    feats = [
+        float(w), float(h), float(nf),
+        int(a.sum()) / (nf * h * w) if nf else 0.0,
+        float(int(a.min())) if nf else 0.0,
+        float(int(a.max())) if nf else 0.0,
+        int(a[0].sum()) / (h * w) if nf else 0.0,
+    ]
+    feats += [0.0] * max(0, dim - len(feats))
     return np.array(feats[:dim], dtype=np.float32)
 
 
@@ -144,26 +290,31 @@ def _audio_features(payload: bytes, dim: int = 8) -> np.ndarray:
     return np.array(feats[:dim], dtype=np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
+_FEATURE_FNS = {
+    "audio": _audio_features,
+    "image": _image_features,
+    "video": _video_features,
+}
+
+
+def extract_features(media: DataFrame, dim: int = 8, strict: bool = True) -> DataFrame:
     """Binary payload -> feature vector via mapInPandas (Arrow batches).
 
-    Audio rows ALWAYS decode for real (RIFF/WAVE PCM16, pure stdlib).
-    strict=True forbids the image/video stub: it raises iff such rows are
-    present, and passes on audio-only tables."""
+    Every known kind decodes for REAL (WAV / BMP / Y4M, pure stdlib).
+    Unknown kinds raise NotImplementedError under strict (default) or get
+    an all-zero feature vector with strict=False."""
 
     def run(batches):
         for pdf in batches:
             feats = []
             for kind, p in zip(pdf["kind"], pdf["payload"]):
-                if kind == "audio":
-                    feats.append(_audio_features(bytes(p), dim).tolist())
+                fn = _FEATURE_FNS.get(kind)
+                if fn is not None:
+                    feats.append(fn(bytes(p), dim).tolist())
                 elif strict:
-                    raise NotImplementedError(
-                        f"real {kind} decode requires codec libs absent "
-                        "in sandbox (audio decode is real)"
-                    )
+                    raise NotImplementedError(f"no decoder for kind={kind!r}")
                 else:
-                    feats.append(_fake_decode(bytes(p), dim).tolist())
+                    feats.append([0.0] * dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -177,25 +328,26 @@ def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> Da
 
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
-    """Video frame sampling contract: one row per sampled frame with a
-    deterministic digest (frame decode itself is the stub boundary)."""
+    """Video frame sampling: REAL Y4M decode, one row per sampled luma
+    plane with its md5 digest (so downstream exact frame-dedup is a plain
+    groupBy on digest)."""
     import hashlib
 
     def run(batches):
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_bytes": [], "digest": []}
-            for mid, kind, payload, meta in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 if kind != "video":
                     continue
-                n_frames = int(meta["n_frames"])
-                for fi in range(0, n_frames, every_nth):
-                    chunk = bytes(payload)[fi::max(n_frames, 1)]
+                frames, _fps = decode_y4m(bytes(payload))
+                for fi in range(0, len(frames), every_nth):
+                    fb = frames[fi].tobytes()
                     out["media_id"].append(mid)
                     out["frame_idx"].append(fi)
-                    out["frame_bytes"].append(len(chunk))
-                    out["digest"].append(hashlib.md5(bytes([fi]) + chunk).hexdigest())
+                    out["frame_bytes"].append(len(fb))
+                    out["digest"].append(hashlib.md5(fb).hexdigest())
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1531,25 +1531,31 @@ QUALIFY rn <= {p["k"]}
 
 
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
-    """Multimodal columns, oracled per media row. Audio rows go through the
-    REAL stdlib RIFF/WAVE PCM16 decoder (a_rms / a_zcr / a_peak from exact
-    integer aggregates); image/video rows keep the declared byte-moment
-    stub (b_mean / b_min / b_max). DuckDB mirrors BOTH paths from
-    hex(payload) — including the 44-byte WAV header skip and int16
-    sign-decode — so the decode itself is value-checked, not just the
-    plumbing (VERDICT r2 next-step #5)."""
+    """Multimodal columns, oracled per media row. ALL kinds go through REAL
+    pure-stdlib decoders (RIFF/WAVE PCM16, BMP 24-bit BI_RGB, YUV4MPEG2
+    Cmono); every feature comes from exact integer aggregates so DuckDB
+    mirrors the full decode from hex(payload) — the 44-byte WAV header skip
+    + int16 sign-decode, the 54-byte BMP header skip + BGR channel stride,
+    and the Y4M text header + FRAME markers — value-checking the decoders
+    themselves, not just the plumbing (r3: stub boundary eliminated)."""
     from spinterps_spark.operators import multimodal as M
 
     media = _utc(spark).read.parquet(fixtures.media_path())
     feats = M.extract_features(media, dim=8)
     rs = M.resize_meta(media, max_w=32).select("media_id", "new_width", "new_height")
     is_audio = F.col("kind") == "audio"
+    is_image = F.col("kind") == "image"
+    is_video = F.col("kind") == "video"
     el = lambda i: F.element_at("feature", i).cast("double")  # noqa: E731
     return feats.select(
         "media_id", "kind", "n_bytes",
-        F.when(~is_audio, el(1)).alias("b_mean"),
-        F.when(~is_audio, el(3)).alias("b_min"),
-        F.when(~is_audio, el(4)).alias("b_max"),
+        F.when(is_image, el(3)).alias("i_mean_r"),
+        F.when(is_image, el(5)).alias("i_mean_b"),
+        F.when(is_image, el(6)).alias("px_min"),
+        F.when(is_image, el(7)).alias("px_max"),
+        F.when(is_video, el(3)).alias("v_n_frames"),
+        F.when(is_video, el(4)).alias("v_luma_mean"),
+        F.when(is_video, el(7)).alias("v_f0_mean"),
         F.when(is_audio, el(1)).alias("a_n_samples"),
         F.when(is_audio, el(4)).alias("a_rms"),
         F.when(is_audio, el(5)).alias("a_zcr"),
@@ -1580,13 +1586,49 @@ pcm AS (
                ELSE bytes[43 + 2*i] + 256 * bytes[44 + 2*i] END
           for i in generate_series(1, (n_bytes - 44) // 2)] AS s
   FROM b WHERE kind = 'audio'
+),
+img AS (
+  -- BMP 24-bit BI_RGB, 54-byte header; fixture widths are multiples of 4
+  -- so the pixel region is exactly bytes[55..] with zero stride padding.
+  -- Pixel bytes repeat B,G,R; channel sums are row-order-insensitive so
+  -- the bottom-up row layout needs no replay.
+  SELECT media_id, width * height AS n_px,
+         bytes[55 : ] AS pix
+  FROM b WHERE kind = 'image'
+),
+vid AS (
+  -- YUV4MPEG2 Cmono: text header up to the first 0x0A byte, then per
+  -- frame 'FRAME\\n' (6 bytes) + width*height luma bytes
+  SELECT media_id,
+         (n_bytes - list_position(bytes, 10)) // (6 + width * height) AS nf,
+         width * height AS fsz, list_position(bytes, 10) AS hdr_len, bytes
+  FROM b WHERE kind = 'video'
+),
+vidl AS (
+  SELECT media_id, nf,
+         flatten([bytes[hdr_len + f*(6+fsz) + 7 : hdr_len + f*(6+fsz) + 6 + fsz]
+                  for f in generate_series(0, nf - 1)]) AS luma,
+         bytes[hdr_len + 7 : hdr_len + 6 + fsz] AS f0
+  FROM vid
 )
 SELECT b.media_id, b.kind, CAST(b.n_bytes AS BIGINT) AS n_bytes,
-       CASE WHEN b.kind <> 'audio' THEN
-         CAST(CAST(list_sum(b.bytes) / CAST(b.n_bytes AS DOUBLE) AS REAL) AS DOUBLE)
-       END AS b_mean,
-       CASE WHEN b.kind <> 'audio' THEN CAST(list_min(b.bytes) AS DOUBLE) END AS b_min,
-       CASE WHEN b.kind <> 'audio' THEN CAST(list_max(b.bytes) AS DOUBLE) END AS b_max,
+       CASE WHEN b.kind = 'image' THEN
+         CAST(CAST(list_sum([img.pix[3*i + 3] for i in generate_series(0, img.n_px - 1)])
+                   / CAST(img.n_px AS DOUBLE) AS REAL) AS DOUBLE)
+       END AS i_mean_r,
+       CASE WHEN b.kind = 'image' THEN
+         CAST(CAST(list_sum([img.pix[3*i + 1] for i in generate_series(0, img.n_px - 1)])
+                   / CAST(img.n_px AS DOUBLE) AS REAL) AS DOUBLE)
+       END AS i_mean_b,
+       CASE WHEN b.kind = 'image' THEN CAST(list_min(img.pix) AS DOUBLE) END AS px_min,
+       CASE WHEN b.kind = 'image' THEN CAST(list_max(img.pix) AS DOUBLE) END AS px_max,
+       CASE WHEN b.kind = 'video' THEN CAST(vidl.nf AS DOUBLE) END AS v_n_frames,
+       CASE WHEN b.kind = 'video' THEN
+         CAST(CAST(list_sum(vidl.luma) / CAST(len(vidl.luma) AS DOUBLE) AS REAL) AS DOUBLE)
+       END AS v_luma_mean,
+       CASE WHEN b.kind = 'video' THEN
+         CAST(CAST(list_sum(vidl.f0) / CAST(len(vidl.f0) AS DOUBLE) AS REAL) AS DOUBLE)
+       END AS v_f0_mean,
        CASE WHEN b.kind = 'audio' THEN
          CAST(CAST(len(pcm.s) AS REAL) AS DOUBLE)
        END AS a_n_samples,
@@ -1609,7 +1651,10 @@ SELECT b.media_id, b.kind, CAST(b.n_bytes AS BIGINT) AS n_bytes,
        CASE WHEN b.width > 0 THEN
          CAST(round(b.height * least(1.0, 32.0 / b.width)) AS INT)
        END AS new_height
-FROM b LEFT JOIN pcm ON b.media_id = pcm.media_id
+FROM b
+LEFT JOIN pcm ON b.media_id = pcm.media_id
+LEFT JOIN img ON b.media_id = img.media_id
+LEFT JOIN vidl ON b.media_id = vidl.media_id
 """
 
 

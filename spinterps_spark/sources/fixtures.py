@@ -73,8 +73,9 @@ MEDIA_N = 96
 def media_path(n: int = MEDIA_N, seed: int = 5) -> str:
     """Deterministic media fixture parquet (multimodal oracle input): the
     same bytes synth_media builds, written once so DuckDB can read them.
-    v2: audio payloads are real RIFF/WAVE PCM16 (multimodal.synth_wav)."""
-    path = os.path.join(FIXTURE_DIR, f"media_v2_{n}_{seed}.parquet")
+    v3: ALL payloads are real public containers — RIFF/WAVE PCM16 audio,
+    24-bit BI_RGB BMP images, YUV4MPEG2 Cmono video (multimodal.synth_*)."""
+    path = os.path.join(FIXTURE_DIR, f"media_v3_{n}_{seed}.parquet")
     if not os.path.exists(path):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         from spinterps_spark.operators.multimodal import media_rows

@@ -224,14 +224,30 @@ def test_multimodal_plumbing(spark):
 
     frames = M.sample_frames(media, every_nth=2).toPandas()
     assert (frames["frame_idx"] % 2 == 0).all()
+    # frame digests come from the REAL Y4M decode: recompute one directly
+    import hashlib
+
+    vrow = media.where("kind = 'video'").limit(1).collect()[0]
+    fr, _fps = M.decode_y4m(bytes(vrow["payload"]))
+    got0 = frames[
+        (frames["media_id"] == vrow["media_id"]) & (frames["frame_idx"] == 0)
+    ].iloc[0]
+    assert got0["digest"] == hashlib.md5(fr[0].tobytes()).hexdigest()
+    assert got0["frame_bytes"] == fr[0].size
 
     rs = M.resize_meta(media, max_w=32).toPandas()
     vis = rs["width"] > 0
     assert (rs.loc[vis, "new_width"] <= 32).all()
     assert rs.loc[~vis, "new_width"].isna().all()  # audio: no resize plan
 
+    # r3: no stub boundary left — strict decode passes for ALL kinds,
+    # unknown kinds still raise
+    assert M.extract_features(media, strict=True).count() == 30
+    weird = spark.createDataFrame(
+        [(0, "hologram", bytearray(b"xx"), (0, 0, 0, 0))], M.MEDIA_SCHEMA
+    )
     with pytest.raises(Exception):
-        M.extract_features(media, strict=True).collect()
+        M.extract_features(weird, strict=True).collect()
 
 
 def test_lang_id_separates_seeded_languages(spark):
@@ -272,6 +288,74 @@ def test_wav_codec_matches_stdlib_wave():
 
     with pytest.raises(ValueError):
         M.decode_wav(b"not a wav at all........")
+
+
+def test_bmp_codec_roundtrip_including_padding_and_topdown():
+    """decode_bmp is a real parser: roundtrips odd widths (non-zero stride
+    padding), accepts top-down negative-height bitmaps, rejects non-BMP."""
+    import struct
+
+    rng = np.random.RandomState(3)
+    for w, h in [(7, 5), (4, 4), (13, 1), (32, 9)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        back = M.decode_bmp(M.synth_bmp(px))
+        np.testing.assert_array_equal(back, px)
+
+    # top-down variant: negate height, rows in natural order
+    px = rng.randint(0, 256, (3, 6, 3)).astype(np.uint8)
+    payload = bytearray(M.synth_bmp(px[::-1]))  # synth writes bottom-up
+    payload[14 + 8 : 14 + 12] = struct.pack("<i", -3)
+    np.testing.assert_array_equal(M.decode_bmp(bytes(payload)), px[::-1][::-1])
+
+    with pytest.raises(ValueError):
+        M.decode_bmp(b"PNG\x00" * 30)
+    with pytest.raises(ValueError):
+        M.decode_bmp(M.synth_bmp(px[::-1])[:40])  # truncated
+
+
+def test_y4m_codec_roundtrip():
+    """decode_y4m is a real parser: roundtrips multi-frame mono streams,
+    tolerates FRAME-level parameters, rejects non-mono and garbage."""
+    rng = np.random.RandomState(4)
+    fr = rng.randint(0, 256, (4, 6, 10)).astype(np.uint8)
+    back, fps = M.decode_y4m(M.synth_y4m(fr, fps=30))
+    assert fps == 30
+    np.testing.assert_array_equal(back, fr)
+
+    # frame-level parameters after the FRAME marker are legal per spec
+    one = fr[:1]
+    payload = M.synth_y4m(one).replace(b"FRAME\n", b"FRAME Xq=1\n")
+    np.testing.assert_array_equal(M.decode_y4m(payload)[0], one)
+
+    with pytest.raises(ValueError):
+        M.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        M.decode_y4m(b"RIFF....")
+
+
+def test_image_video_features_match_direct_decode(spark):
+    """extract_features' image/video lanes equal a direct numpy decode of
+    the same payload bytes (the features are real, not byte moments)."""
+    media = M.synth_media(spark, n=30)
+    out = M.extract_features(media, dim=8, strict=True).toPandas()
+    rows = {r["media_id"]: r for _, r in out.iterrows()}
+
+    irow = media.where("kind = 'image'").limit(1).collect()[0]
+    px = M.decode_bmp(bytes(irow["payload"])).astype(np.int64)
+    f = np.array(rows[irow["media_id"]]["feature"], dtype=np.float32)
+    h, w, _ = px.shape
+    assert f[0] == np.float32(w) and f[1] == np.float32(h)
+    assert f[2] == np.float32(int(px[:, :, 0].sum()) / (w * h))
+    assert f[5] == np.float32(px.min()) and f[6] == np.float32(px.max())
+
+    vrow = media.where("kind = 'video'").limit(1).collect()[0]
+    fr, _ = M.decode_y4m(bytes(vrow["payload"]))
+    g = np.array(rows[vrow["media_id"]]["feature"], dtype=np.float32)
+    nf, vh, vw = fr.shape
+    a = fr.astype(np.int64)
+    assert g[2] == np.float32(nf)
+    assert g[3] == np.float32(int(a.sum()) / (nf * vh * vw))
+    assert g[6] == np.float32(int(a[0].sum()) / (vh * vw))
 
 
 def test_audio_decode_is_real_and_strict_passes(spark):

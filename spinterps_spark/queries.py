@@ -1241,7 +1241,7 @@ def _fitted_vg_setup(spark, sf_dir):
         "conv_id", "bucket_ts",
         (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
     )
-    return sp, coords, vg_dim
+    return sp, ser, coords, vg_dim
 
 
 def q_gapfill_ok_fitted(spark, sf_dir) -> DataFrame:
@@ -1249,7 +1249,7 @@ def q_gapfill_ok_fitted(spark, sf_dir) -> DataFrame:
     gap-fill. Full per-row output, hash-checked against a GOLDEN parquet the
     independent NumPy oracle materializes (tools_golden.py) — per-row doubles
     are bit-exact by construction, so no float reduction crosses engines."""
-    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    sp, _ser, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
     return G.gapfill(sp, "v", method="OK", tier="1h", coords=coords, vg_dim=vg_dim)
 
 
@@ -1260,13 +1260,10 @@ def q_gapfill_ok_regime(spark, sf_dir) -> DataFrame:
     cluster's global model. Golden-parquet oracled."""
     from spinterps_spark.operators import variogram as V
 
-    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
-    h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
-    ser = h1.select(
-        "conv_id", "bucket_ts",
-        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("v"),
-        F.date_format("bucket_ts", "yyyy-MM").alias("month"),
-    )
+    sp, base_ser, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    # the regime evg fits the SAME series as the global dim, plus the month
+    # regime key — never a parallel rebuild of the rollup lineage
+    ser = base_ser.withColumn("month", F.date_format("bucket_ts", "yyyy-MM"))
     evg_r = V.empirical_variogram(
         ser, coords, "v", estimator="mean", regime_col="month"
     )
@@ -1283,7 +1280,7 @@ def q_gapfill_ok_regime(spark, sf_dir) -> DataFrame:
 def q_gapfill_edk(spark, sf_dir) -> DataFrame:
     """K3: external-drift kriging (synthetic linear temporal drift).
     Golden-parquet oracled, full per-row output."""
-    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    sp, _ser, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
     return G.gapfill(sp, "v", method="EDK", tier="1h", coords=coords, vg_dim=vg_dim)
 
 
@@ -1292,7 +1289,7 @@ def q_gapfill_edk_multi(spark, sf_dir) -> DataFrame:
     columns attached via the J8 drift lookup join (with_drift). The second
     drift is a pure-arithmetic diurnal ramp — no libm call, so the JVM and
     the NumPy golden agree bit-for-bit. Golden-parquet oracled."""
-    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    sp, _ser, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
     ramp = (F.hour("bucket_ts") - F.lit(11.5)) / F.lit(11.5)
     drift = sp.select(
         "conv_id", "bucket_ts",
@@ -1309,7 +1306,7 @@ def q_gapfill_edk_multi(spark, sf_dir) -> DataFrame:
 def q_gapfill_ik(spark, sf_dir) -> DataFrame:
     """K4: indicator kriging P(value <= lim). Golden-parquet oracled, full
     per-row output."""
-    sp, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
+    sp, _ser, coords, vg_dim = _fitted_vg_setup(_utc(spark), sf_dir)
     return G.gapfill(
         sp, "v", method="IK", tier="1h", coords=coords, vg_dim=vg_dim, ik_lim=15.0
     )

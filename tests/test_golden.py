@@ -1,8 +1,10 @@
 """Golden-parquet integrity: the committed goldens must equal a fresh
 regeneration from the independent oracle chain (tools_golden.py), so driver
-fixture drift or oracle edits can never silently stale them. Runs at
-sf0.001 to stay cheap; the sf0.01 goldens are exercised end-to-end by
-tests/test_queries_oracle.py (Spark vs DuckDB read_parquet)."""
+fixture drift or oracle edits can never silently stale them. ALL committed
+golden names are parametrized (an oracle edit that shifts any kernel
+query's expected output fails here). Runs at sf0.001 to stay cheap; the
+sf0.01 goldens are exercised end-to-end by tests/test_queries_oracle.py
+(Spark vs DuckDB read_parquet)."""
 
 import os
 import sys
@@ -20,7 +22,7 @@ import tools_golden  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", ["variogram_fit_dim", "vg_cluster_merge"])
+@pytest.mark.parametrize("name", sorted(tools_golden.BUILDERS))
 def test_committed_golden_matches_regeneration(name):
     committed = pd.read_parquet(tools_golden.golden_path(name, SF))
     fresh = tools_golden.build_golden(name, SF)[committed.columns.tolist()]

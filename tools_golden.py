@@ -123,6 +123,12 @@ class _Chain:
 
         return self._get("conv_vg", build)
 
+    def conv_cluster(self) -> dict:
+        return self._get(
+            "conv_cluster",
+            lambda: dict(zip(self.coords["conv_id"], self.coords["cluster_id"])),
+        )
+
     def filled(self, method: str, **kw) -> pd.DataFrame:
         """Per-row expected gapfill output over the 1h spine."""
         sp = self.spine
@@ -135,7 +141,7 @@ class _Chain:
             if "vg_by_regime" in kw_c:
                 vg_map = kw_c.pop("vg_by_regime")
                 months = grp["bucket_ts"].dt.strftime("%Y-%m").to_numpy()
-                cl = self._cache["conv_cluster"][conv]
+                cl = self.conv_cluster()[conv]
                 glob = conv_vg[conv]
                 vg_rows = np.array(
                     [vg_map.get((cl, m), glob) for m in months], dtype=object
@@ -204,11 +210,7 @@ def _prep_regime(ch: _Chain) -> dict:
         (c, r): (v if v != "nan" else None)
         for c, r, v in zip(fit_r["cluster_id"], fit_r["regime"], fit_r["vg_str"])
     }
-    vg_map = {k: v for k, v in vg_map.items() if v is not None}
-    ch._cache["conv_cluster"] = dict(
-        zip(ch.coords["conv_id"], ch.coords["cluster_id"])
-    )
-    return vg_map
+    return {k: v for k, v in vg_map.items() if v is not None}
 
 
 def _g_gapfill_ok_fitted(ch: _Chain) -> pd.DataFrame:

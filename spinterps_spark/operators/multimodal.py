@@ -330,7 +330,10 @@ def extract_features(media: DataFrame, dim: int = 8, strict: bool = True) -> Dat
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """Video frame sampling: REAL Y4M decode, one row per sampled luma
     plane with its md5 digest (so downstream exact frame-dedup is a plain
-    groupBy on digest)."""
+    groupBy on digest). The digest is md5 over the frame's lowercase hex
+    encoding — injective in the frame bytes and reproducible by a SQL
+    engine whose md5 only takes text (DuckDB), so the driver oracle can
+    re-derive it from hex(payload) substrings."""
     import hashlib
 
     def run(batches):
@@ -347,7 +350,9 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
                     out["media_id"].append(mid)
                     out["frame_idx"].append(fi)
                     out["frame_bytes"].append(len(fb))
-                    out["digest"].append(hashlib.md5(fb).hexdigest())
+                    out["digest"].append(
+                        hashlib.md5(fb.hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the scale ladder:
+Three paths, per the scale ladder:
 - brute-force cosine top-k: exact baseline; JVM-side zip_with/aggregate dot
   products (whole-stage codegen, no Python), broadcast of the query set.
   Cost O(Q*N) — correct choice when Q is small or N fits a broadcast.
@@ -9,6 +9,9 @@ Two paths, per the scale ladder:
   vectors sharing a (table, signature) bucket; exact cosine re-ranks the
   candidates only. Recall tunes with n_tables/n_bits. All bucketing is a
   plain groupBy/join shuffle on (table, signature) — no cross join ever.
+- IVF inverted lists (FAISS IVF-Flat shape): vectors partition to their
+  nearest of `n_lists` centroids; queries probe `n_probe` lists and re-rank
+  only those candidates, scanning ~n_probe/n_lists of the database.
 
 Hyperplanes are generated deterministically from a seed via splitmix64, so
 results are reproducible run-to-run and across engines.
@@ -163,3 +166,95 @@ def embedding_near_dups(
     )
     sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
     return j.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= sim_threshold)
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: `n_lists` centroids taken deterministically as
+    the embeddings of the n_lists smallest ids (sampling init with zero
+    Lloyd rounds — production IVF would k-means-train these; the inverted
+    list partition/probe machinery below is identical either way, and the
+    deterministic choice keeps the cross-engine oracle exact)."""
+    return (
+        vectors.orderBy(id_col).limit(n_lists)
+        .select(
+            F.row_number().over(W.orderBy(id_col)).alias("list_id"),
+            _as_double(F.col(emb_col)).alias("c_emb"),
+        )
+    )
+
+
+def _ivf_sims(points: DataFrame, cents: DataFrame, pid: str) -> DataFrame:
+    """Per (point, centroid) rounded cosine. Broadcast nested loop over
+    n_lists rows: O(N * n_lists * d) map-side work, no shuffle.
+    Rounding before any argmax/rank: centroid assignment must agree
+    bit-for-bit across engines (the guard every hash-green cosine query
+    uses)."""
+    j = points.crossJoin(F.broadcast(cents))
+    sim = _dot(F.col("p_emb"), F.col("c_emb")) / (
+        _norm(F.col("p_emb")) * _norm(F.col("c_emb"))
+    )
+    return j.select(pid, "p_emb", "list_id", F.round(sim, 4).alias("c_sim"))
+
+
+def _ivf_assign(points: DataFrame, cents: DataFrame, pid: str) -> DataFrame:
+    """Nearest-centroid assignment for the BIG side: argmax by
+    max-of-struct aggregation (ties -> lower list_id), which combines
+    map-side, so the shuffle carries N assigned rows — never the
+    N * n_lists similarity rows a rank-window would move."""
+    sims = _ivf_sims(points, cents, pid)
+    g = sims.groupBy(pid).agg(
+        F.max(F.struct(F.col("c_sim"), (-F.col("list_id")).alias("nl"))).alias("m"),
+        F.first("p_emb").alias("p_emb"),
+    )
+    return g.select(pid, "p_emb", (-F.col("m.nl")).alias("list_id"))
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Approximate top-k, IVF flavor: vectors are partitioned into
+    `n_lists` inverted lists by nearest centroid; each query probes its
+    `n_probe` nearest lists and exact cosine re-ranks only those
+    candidates — the scanned fraction is ~n_probe/n_lists of the database,
+    never the full Q x N product.
+
+    100 TB shape: assignment is a broadcast nested loop (centroids are tiny),
+    the probe join broadcasts the Q x n_probe probe table against the
+    inverted file, so the big side is never shuffled; recall tunes with
+    n_probe exactly like FAISS IVF-Flat."""
+    cents = ivf_centroids(vectors, n_lists, id_col, emb_col)
+
+    v = vectors.select(F.col(id_col).alias("n_id"), _as_double(F.col(emb_col)).alias("p_emb"))
+    inv = _ivf_assign(v, cents, "n_id").select(
+        "n_id", F.col("p_emb").alias("emb"), "list_id"
+    )
+
+    # probes are the SMALL side: a top-n_probe rank window is fine here
+    q = queries.select(F.col(q_id_col).alias("q_id"), _as_double(F.col(emb_col)).alias("p_emb"))
+    qs = _ivf_sims(q, cents, "q_id")
+    w_p = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
+    probes = (
+        qs.withColumn("c_rn", F.row_number().over(w_p))
+        .where(F.col("c_rn") <= n_probe)
+        .select("q_id", F.col("p_emb").alias("q_emb"), "list_id")
+    )
+
+    j = inv.join(F.broadcast(probes), "list_id").where(F.col("n_id") != F.col("q_id"))
+    sim = _dot(F.col("q_emb"), F.col("emb")) / (_norm(F.col("q_emb")) * _norm(F.col("emb")))
+    # rank on round(sim, 4) with an id tie-break (like the centroid argmax)
+    # so the top-k cut is bit-stable across engines
+    j = j.select("q_id", "n_id", F.round(sim, 4).alias("sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

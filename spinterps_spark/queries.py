@@ -1527,6 +1527,73 @@ QUALIFY rn <= {p["k"]}
 """
 
 
+IVF_P = dict(k=5, n_lists=16, n_probe=4, n_q=8)
+
+
+def q_ivf_cosine_topk(spark, sf_dir) -> DataFrame:
+    """IVF inverted-list ANN (the second scale path beside SRP-LSH):
+    nearest-centroid partition, n_probe-list probe, exact cosine re-rank of
+    candidates only. Centroid argmax uses round(sim,4) + list_id tie-break
+    so both engines assign identically."""
+    from spinterps_spark.operators import similarity as S2
+
+    p = IVF_P
+    e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < p["n_q"]).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = S2.cosine_topk_ivf(
+        e, q, k=p["k"], n_lists=p["n_lists"], n_probe=p["n_probe"]
+    )
+    return out.select("q_id", "n_id", "sim", "rn")
+
+
+def _sql_ivf_cosine_topk() -> str:
+    p = IVF_P
+    return f"""
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, emb AS c_emb
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {p["n_lists"]})
+),
+sim_vc AS (
+  SELECT e.vec_id, e.emb, c.list_id,
+         round(
+           list_sum([e.emb[i] * c.c_emb[i] for i in generate_series(1, len(e.emb))]) /
+           (sqrt(list_sum([x * x for x in e.emb])) *
+            sqrt(list_sum([x * x for x in c.c_emb]))), 4) AS c_sim
+  FROM e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, emb, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, list_id)
+           AS c_rn
+  FROM sim_vc
+),
+inv AS (SELECT vec_id AS n_id, emb, list_id FROM ranked WHERE c_rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, emb AS q_emb, list_id
+  FROM ranked WHERE c_rn <= {p["n_probe"]} AND vec_id < {p["n_q"]}
+),
+sims AS (
+  SELECT probes.q_id, inv.n_id,
+         round(
+           list_sum([probes.q_emb[i] * inv.emb[i]
+                     for i in generate_series(1, len(inv.emb))]) /
+           (sqrt(list_sum([x * x for x in probes.q_emb])) *
+            sqrt(list_sum([x * x for x in inv.emb]))), 4) AS sim
+  FROM inv JOIN probes USING (list_id)
+  WHERE inv.n_id <> probes.q_id
+)
+SELECT q_id, n_id, sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rn
+FROM sims
+QUALIFY rn <= {p["k"]}
+"""
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal columns, oracled per media row. ALL kinds go through REAL
     pure-stdlib decoders (RIFF/WAVE PCM16, BMP 24-bit BI_RGB, YUV4MPEG2
@@ -1653,6 +1720,46 @@ LEFT JOIN pcm ON b.media_id = pcm.media_id
 LEFT JOIN img ON b.media_id = img.media_id
 LEFT JOIN vidl ON b.media_id = vidl.media_id
 """
+
+
+def q_video_frames(spark, sf_dir) -> DataFrame:
+    """Frame sampling over the media table: one row per sampled Y4M luma
+    plane with an md5 digest of its (hex-encoded) decoded bytes. The DuckDB
+    twin re-derives each digest from hex(payload) substrings at the parsed
+    frame offsets, value-checking the video decoder's frame slicing
+    end-to-end in the driver gate."""
+    from spinterps_spark.operators import multimodal as M
+
+    media = _utc(spark).read.parquet(fixtures.media_path())
+    return M.sample_frames(media, every_nth=2)
+
+
+def _sql_video_frames() -> str:
+    mp = fixtures.media_path()
+    return """
+WITH m AS (
+  SELECT media_id, meta.width AS width, meta.height AS height,
+         octet_length(payload) AS n_bytes, hex(payload) AS h
+  FROM read_parquet('{mp}') WHERE kind = 'video'
+),
+p AS (
+  -- text header ends at the first 0x0A byte; frames are 'FRAME\\n' (6
+  -- bytes) + width*height luma bytes
+  SELECT media_id, width * height AS fsz,
+         position('0A' IN h) // 2 + 1 AS hdr_len, n_bytes, h
+  FROM m
+),
+f AS (
+  SELECT media_id, fsz, h, hdr_len, fi
+  FROM p, unnest(generate_series(0, (n_bytes - hdr_len) // (6 + fsz) - 1, 2))
+       AS t(fi)
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       CAST(fsz AS BIGINT) AS frame_bytes,
+       md5(lower(substr(h, 2 * (hdr_len + fi * (6 + fsz) + 6) + 1, 2 * fsz)))
+         AS digest
+FROM f
+""".format(mp=mp)
 
 
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
@@ -1792,8 +1899,10 @@ QUERIES = {
     "gorilla_roundtrip": (q_gorilla_roundtrip, lambda: SQL_GORILLA_ROUNDTRIP.format(tp=_tp())),
     "simhash_near_dups": (q_simhash_near_dups, lambda: _sql_simhash_near_dups()),
     "lsh_cosine_topk": (q_lsh_cosine_topk, lambda: _sql_lsh_cosine_topk()),
+    "ivf_cosine_topk": (q_ivf_cosine_topk, lambda: _sql_ivf_cosine_topk()),
     "embedding_near_dups": (q_embedding_near_dups, lambda: _sql_embedding_near_dups()),
     "multimodal_features": (q_multimodal_features, lambda: _sql_multimodal_features()),
+    "video_frames": (q_video_frames, lambda: _sql_video_frames()),
     "ngram_jaccard": (q_ngram_jaccard, lambda: SQL_NGRAM_JACCARD),
     # kernel queries (pinv matrix solves / DE optimizer): not
     # SQL-expressible, so the oracle is a GOLDEN parquet materialized by the

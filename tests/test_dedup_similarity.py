@@ -179,6 +179,31 @@ def test_cosine_topk_lsh_recall_vs_bruteforce(spark, emb):
     assert np.allclose(m["sim_e"], m["sim_a"], rtol=0, atol=0)
 
 
+def test_cosine_topk_ivf_recall_and_partition(spark, emb):
+    """IVF inverted lists: every vector lands in exactly one list, probing
+    n_probe of n_lists bounds the scanned fraction, and recall vs brute
+    force tracks the probed share of the database."""
+    q = emb.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "q_id")
+    inv = SIM.ivf_centroids(emb, n_lists=8)
+    assert inv.count() == 8
+
+    exact = SIM.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    approx = SIM.cosine_topk_ivf(emb, q, k=5, n_lists=8, n_probe=6).toPandas()
+    # per query at most k results, ranked contiguously from 1
+    per_q = approx.groupby("q_id")["rn"]
+    assert (per_q.max() <= 5).all() and (per_q.min() == 1).all()
+
+    e = set(map(tuple, exact[["q_id", "n_id"]].to_numpy()))
+    a = set(map(tuple, approx[["q_id", "n_id"]].to_numpy()))
+    recall = len(e & a) / len(e)
+    # random near-orthogonal embeddings + untrained centroids: probing 6/8
+    # of the lists must recover well over half the true neighbors
+    assert recall >= 0.5, recall
+    # sims agree to the contract rounding where pairs overlap
+    m = exact.merge(approx, on=["q_id", "n_id"], suffixes=("_e", "_a"))
+    assert np.allclose(np.round(m["sim_e"], 4), m["sim_a"], rtol=0, atol=0)
+
+
 def test_srp_signatures_single_scan_and_numpy_equal(spark, emb):
     """VERDICT r1 perf-weak: srp_signatures scanned the vector table
     n_tables times via union. Now: ONE scan, same signatures (checked
@@ -232,7 +257,7 @@ def test_multimodal_plumbing(spark):
     got0 = frames[
         (frames["media_id"] == vrow["media_id"]) & (frames["frame_idx"] == 0)
     ].iloc[0]
-    assert got0["digest"] == hashlib.md5(fr[0].tobytes()).hexdigest()
+    assert got0["digest"] == hashlib.md5(fr[0].tobytes().hex().encode()).hexdigest()
     assert got0["frame_bytes"] == fr[0].size
 
     rs = M.resize_meta(media, max_w=32).toPandas()

@@ -173,3 +173,96 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ------------------------------------------------------------- winnowing
+
+WINNOW_MOD = 1_000_000_007
+WINNOW_BASE = 131
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-token gram with a polynomial rolling hash,
+    slide a w-gram window, keep each window's RIGHTMOST minimal hash, and
+    emit the distinct (position, hash) selections. Guarantees every match
+    of length >= w+k-1 tokens shares a fingerprint, using ~2/(w+1) of the
+    gram hashes.
+
+    Everything runs JVM-side on arrays (transform/aggregate/slice inside
+    whole-stage codegen — no Python, no explode before the final distinct
+    set). All arithmetic is exact integer mod 1e9+7 with a base-131
+    polynomial over md5-derived token values, so a SQL engine reproduces
+    the fingerprints bit-for-bit. Docs shorter than k tokens yield no rows
+    (no grams); docs with fewer than w grams get one window over all
+    grams, like the reference algorithm's short-input degeneration.
+
+    Output: (doc_id, fp_pos, fp_hash) — fp_pos is the 1-based gram index.
+    """
+    M, B = F.lit(WINNOW_MOD), F.lit(WINNOW_BASE)
+    toks = F.split(F.col(text_col), " ")
+    tvals = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % M,
+    )
+    n_grams = F.size(toks) - F.lit(k - 1)
+    # n_grams >= 1 guard: Spark sequence(1, 0) counts DOWN ([1, 0]) — sub-k
+    # docs must yield an empty gram array, not a descending index walk
+    gh = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.aggregate(
+                F.slice(tvals, i, k), F.lit(0).cast("long"),
+                lambda acc, x: (acc * B + x) % M,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = docs.select(F.col(id_col).alias("doc_id"), gh.alias("gh"))
+    # rightmost minimal hash per window: ascending fold with <= keeps the
+    # latest position among equal minima (the robust-winnowing tie rule).
+    # Guarded on size(gh) > 0 so gram-less docs carry an EMPTY selection
+    # instead of a row filter: a where(size(gh) > 0) here would be pushed
+    # below the projection with gh inlined, re-evaluating the full gram
+    # scan inside the predicate.
+    n_wins = F.greatest(F.size("gh") - F.lit(w - 1), F.lit(1))
+    pick = F.when(
+        F.size("gh") > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.aggregate(
+                F.sequence(i, F.least(i + F.lit(w - 1), F.size("gh"))),
+                F.struct(
+                    F.lit(WINNOW_MOD).cast("long").alias("h"),
+                    F.lit(-1).alias("p"),
+                ),
+                lambda acc, p: F.when(
+                    F.element_at(F.col("gh"), p) <= acc["h"],
+                    F.struct(F.element_at(F.col("gh"), p).alias("h"), p.alias("p")),
+                ).otherwise(acc),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+    sel = d.select("doc_id", F.array_distinct(pick).alias("fps"))
+    # explode_OUTER, then drop the null rows it emits for empty selections:
+    # InferFiltersFromGenerate only fires for inner generates, and with an
+    # inner explode its inferred size(fps) > 0 predicate gets pushed to the
+    # scan with the WHOLE fingerprint expression inlined — every
+    # element_at(gh, p) lambda step then re-evaluates the full gram scan,
+    # O(n_wins * w * n_grams * n_tokens) md5 calls per row (hours on 500
+    # docs, measured; seconds this way). The null filter sits on the
+    # generator OUTPUT, which nothing can push below the Generate.
+    x = sel.select("doc_id", F.explode_outer("fps").alias("fp")).where(
+        F.col("fp").isNotNull()
+    )
+    return x.select(
+        "doc_id",
+        F.col("fp.p").alias("fp_pos"),
+        F.col("fp.h").alias("fp_hash"),
+    )

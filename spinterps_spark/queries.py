@@ -1762,6 +1762,57 @@ FROM f
 """.format(mp=mp)
 
 
+WINNOW_K, WINNOW_W = 4, 4
+
+
+def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
+    """Winnowing document fingerprints (SIGMOD'03) over the documents
+    table: k-gram rolling hashes, rightmost window minima, distinct
+    (position, hash) selections — any shared run of >= w+k-1 tokens is
+    guaranteed to share a fingerprint. Exact integer mod-arithmetic, so
+    the DuckDB twin reproduces every fingerprint bit-for-bit."""
+    from spinterps_spark.operators import dedup as D
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    return D.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+
+
+SQL_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+v AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(tok), 1, 12))::BIGINT % 1000000007
+          for tok in toks] AS tvals,
+         greatest(len(toks) - {WINNOW_K - 1}, 0) AS n_grams
+  FROM t
+),
+g AS (
+  SELECT doc_id,
+         [list_reduce(tvals[i : i + {WINNOW_K - 1}],
+                      (a, b) -> (a * 131 + b) % 1000000007)
+          for i in generate_series(1, n_grams)] AS gh
+  FROM v WHERE n_grams > 0
+),
+wins AS (
+  SELECT doc_id, gh, wi
+  FROM g, unnest(generate_series(1, greatest(len(gh) - {WINNOW_W - 1}, 1)))
+       AS u(wi)
+),
+sel AS (
+  SELECT doc_id,
+         wi - 1 + list_max(
+           [j for j in generate_series(1, len(gh[wi : wi + {WINNOW_W - 1}]))
+            if gh[wi : wi + {WINNOW_W - 1}][j] = list_min(gh[wi : wi + {WINNOW_W - 1}])]
+         ) AS fp_pos,
+         list_min(gh[wi : wi + {WINNOW_W - 1}]) AS fp_hash
+  FROM wins
+)
+SELECT DISTINCT doc_id, CAST(fp_pos AS INT) AS fp_pos, fp_hash FROM sel
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     """Exact n-gram Jaccard over distinct 3-token shingles for consecutive
     doc-id pairs (candidate-verification stage of near-dup dedup)."""
@@ -1904,6 +1955,7 @@ QUERIES = {
     "multimodal_features": (q_multimodal_features, lambda: _sql_multimodal_features()),
     "video_frames": (q_video_frames, lambda: _sql_video_frames()),
     "ngram_jaccard": (q_ngram_jaccard, lambda: SQL_NGRAM_JACCARD),
+    "winnow_fingerprints": (q_winnow_fingerprints, lambda: SQL_WINNOW),
     # kernel queries (pinv matrix solves / DE optimizer): not
     # SQL-expressible, so the oracle is a GOLDEN parquet materialized by the
     # independent NumPy oracle (tests/oracle.py via tools_golden.py) and the

@@ -403,3 +403,60 @@ def test_audio_decode_is_real_and_strict_passes(spark):
     assert got[1] == np.float32(sr)
     assert got[3] == np.float32(np.sqrt(int((a * a).sum()) / n))
     assert got[5] == np.float32(int(np.abs(a).max()))
+
+
+def _winnow_py(text, k=4, w=4):
+    """Independent winnowing reference (hashlib + plain loops)."""
+    import hashlib
+
+    M, B = 1_000_000_007, 131
+    toks = text.split(" ")
+    tv = [int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % M for t in toks]
+    if len(tv) < k:
+        return set()
+    gh = []
+    for i in range(len(tv) - k + 1):
+        h = 0
+        for x in tv[i:i + k]:
+            h = (h * B + x) % M
+        gh.append(h)
+    sel = set()
+    n_wins = max(len(gh) - w + 1, 1)
+    for i in range(n_wins):
+        win = gh[i:i + w]
+        mh, mp = M, -1
+        for j, h in enumerate(win):
+            if h <= mh:
+                mh, mp = h, i + j + 1  # rightmost min, 1-based gram pos
+        sel.add((mp, mh))
+    return sel
+
+
+def test_winnow_fingerprints_match_reference_and_guarantee(spark):
+    """winnow_fingerprints equals an independent Python winnowing
+    implementation, drops sub-k docs, and upholds the SIGMOD'03 guarantee:
+    docs sharing a >= w+k-1 token run share a fingerprint."""
+    texts = [
+        "a b c d e f g h i j",
+        "zz yy a b c d e f g h i j qq",   # shares a 10-token run with doc 0
+        "x y z",                            # sub-k: no grams, no rows
+        "p q r s",                          # exactly one gram, one window
+        "m m m m m m m m",                  # all-equal hashes: tie rule
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        D.winnow_fingerprints(spark.createDataFrame(pdf), k=4, w=4)
+        .toPandas()
+    )
+    got = {
+        int(i): set(zip(g["fp_pos"], g["fp_hash"]))
+        for i, g in out.groupby("doc_id")
+    }
+    for i, t in enumerate(texts):
+        want = _winnow_py(t)
+        assert got.get(i, set()) == want, (i, got.get(i), want)
+    # shared-run guarantee: some fingerprint HASH appears in both docs
+    h0 = {h for _, h in got[0]}
+    h1 = {h for _, h in got[1]}
+    assert h0 & h1
+    assert 2 not in got  # sub-k doc yields no rows

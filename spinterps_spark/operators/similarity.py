@@ -188,30 +188,29 @@ def ivf_centroids(
     )
 
 
-def _ivf_sims(points: DataFrame, cents: DataFrame, pid: str) -> DataFrame:
-    """Per (point, centroid) rounded cosine. Broadcast nested loop over
-    n_lists rows: O(N * n_lists * d) map-side work, no shuffle.
-    Rounding before any argmax/rank: centroid assignment must agree
-    bit-for-bit across engines (the guard every hash-green cosine query
-    uses)."""
-    j = points.crossJoin(F.broadcast(cents))
-    sim = _dot(F.col("p_emb"), F.col("c_emb")) / (
-        _norm(F.col("p_emb")) * _norm(F.col("c_emb"))
-    )
-    return j.select(pid, "p_emb", "list_id", F.round(sim, 4).alias("c_sim"))
+def _ivf_lit_sims(emb_col_expr, cents_rows):
+    """Array of rounded cosines against the collected centroid model, as a
+    pure projection over literal centroid vectors — evaluated map-side, no
+    join, no shuffle. Centroid norms are precomputed driver-side with the
+    same left-to-right float64 sum the SQL twin uses, so values are
+    bit-identical. Rounding before any argmax/rank: centroid assignment
+    must agree bit-for-bit across engines (the guard every hash-green
+    cosine query uses)."""
+    import math
 
-
-def _ivf_assign(points: DataFrame, cents: DataFrame, pid: str) -> DataFrame:
-    """Nearest-centroid assignment for the BIG side: argmax by
-    max-of-struct aggregation (ties -> lower list_id), which combines
-    map-side, so the shuffle carries N assigned rows — never the
-    N * n_lists similarity rows a rank-window would move."""
-    sims = _ivf_sims(points, cents, pid)
-    g = sims.groupBy(pid).agg(
-        F.max(F.struct(F.col("c_sim"), (-F.col("list_id")).alias("nl"))).alias("m"),
-        F.first("p_emb").alias("p_emb"),
-    )
-    return g.select(pid, "p_emb", (-F.col("m.nl")).alias("list_id"))
+    sims = []
+    for r in cents_rows:
+        ce = [float(x) for x in r["c_emb"]]
+        c_lit = F.array(*[F.lit(x) for x in ce])
+        c_norm = math.sqrt(sum(x * x for x in ce))
+        sims.append(
+            F.round(
+                _dot(emb_col_expr, c_lit)
+                / (_norm(emb_col_expr) * F.lit(c_norm)),
+                4,
+            )
+        )
+    return F.array(*sims)
 
 
 def cosine_topk_ivf(
@@ -230,20 +229,33 @@ def cosine_topk_ivf(
     candidates — the scanned fraction is ~n_probe/n_lists of the database,
     never the full Q x N product.
 
-    100 TB shape: assignment is a broadcast nested loop (centroids are tiny),
-    the probe join broadcasts the Q x n_probe probe table against the
-    inverted file, so the big side is never shuffled; recall tunes with
-    n_probe exactly like FAISS IVF-Flat."""
-    cents = ivf_centroids(vectors, n_lists, id_col, emb_col)
-
-    v = vectors.select(F.col(id_col).alias("n_id"), _as_double(F.col(emb_col)).alias("p_emb"))
-    inv = _ivf_assign(v, cents, "n_id").select(
-        "n_id", F.col("p_emb").alias("emb"), "list_id"
+    100 TB shape: the centroid set is a MODEL PARAMETER — collected once
+    (n_lists rows) and compiled into the assignment projection as literals,
+    so building the inverted file is a pure map over the vector table:
+    argmax = array_position(sims, array_max(sims)) (first max = lowest
+    list_id on rounded ties), zero joins, zero aggregates, zero shuffles.
+    The probe side broadcasts its Q x n_probe rows against the inverted
+    file, so the big side is never shuffled; recall tunes with n_probe
+    exactly like FAISS IVF-Flat."""
+    cents_rows = sorted(
+        ivf_centroids(vectors, n_lists, id_col, emb_col).collect(),
+        key=lambda r: r["list_id"],
     )
 
-    # probes are the SMALL side: a top-n_probe rank window is fine here
+    v = vectors.select(F.col(id_col).alias("n_id"), _as_double(F.col(emb_col)).alias("p_emb"))
+    sa = _ivf_lit_sims(F.col("p_emb"), cents_rows)
+    inv = v.select(
+        "n_id", F.col("p_emb").alias("emb"),
+        F.array_position(sa, F.array_max(sa)).cast("int").alias("list_id"),
+    )
+
+    # probes are the SMALL side: posexplode the per-centroid sims and keep
+    # the top-n_probe lists per query via a rank window
     q = queries.select(F.col(q_id_col).alias("q_id"), _as_double(F.col(emb_col)).alias("p_emb"))
-    qs = _ivf_sims(q, cents, "q_id")
+    qs = q.select(
+        "q_id", "p_emb",
+        F.posexplode(_ivf_lit_sims(F.col("p_emb"), cents_rows)).alias("pos", "c_sim"),
+    ).select("q_id", "p_emb", (F.col("pos") + 1).alias("list_id"), "c_sim")
     w_p = W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
     probes = (
         qs.withColumn("c_rn", F.row_number().over(w_p))

@@ -104,6 +104,37 @@ def main():
     sections.append(("Waved write input (one-pass wave membership projection)", p10,
                      ["pmod", "Scan parquet nodes: 1"]))
 
+    # r3: IVF ANN — the centroid model is compiled into the assignment
+    # projection as literals (argmax = array_position over a literal-sims
+    # array), so the inverted-file build is a pure map: NO join, NO
+    # aggregate, NO shuffle on the vector table. Probes broadcast into the
+    # candidate join; final top-k rank is pushed map-side by
+    # WindowGroupLimit.
+    emb_q = emb.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "q_id")
+    p11 = plan_of(SIM.cosine_topk_ivf(emb, emb_q, k=5, n_lists=16, n_probe=4))
+    n_ex11 = len(re.findall(r"^\(\d+\) Exchange", p11, re.M))
+    p11 = (f"(Exchange nodes: {n_ex11} — probe-side only; the vector table "
+           f"is never shuffled before the candidate join)\n") + p11
+    sections.append(("IVF cosine top-k (r3: literal-centroid map assignment + broadcast probe join)", p11,
+                     ["BroadcastHashJoin", "WindowGroupLimit", "array_position"]))
+
+    # r3: winnowing fingerprints — the whole k-gram/window-min pipeline is
+    # array expressions inside two Projects over ONE scan; the explode is
+    # OUTER so no inferred size() filter gets pushed to the scan with the
+    # gram expression inlined (see operators/dedup.py for the trap).
+    from spinterps_spark.operators import dedup as D
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p12 = plan_of(D.winnow_fingerprints(docs))
+    n_scans12 = len(re.findall(r"^\(\d+\) Scan parquet", p12, re.M))
+    # the gram-hash expression must appear exactly once (its Project) —
+    # twice means a pushed filter re-inlined it (the measured blowup)
+    n_gram_exprs = p12.count("conv(substring(md5(")
+    p12 = (f"(Scan parquet nodes: {n_scans12}; gram-hash expression sites: "
+           f"{n_gram_exprs} — must be 1, a second site means a pushed "
+           f"filter inlined it)\n") + p12
+    sections.append(("Winnowing fingerprints (r3: array pipeline, outer explode)", p12,
+                     ["Generate", "Scan parquet nodes: 1", "expression sites: 1"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

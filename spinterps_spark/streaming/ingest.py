@@ -138,3 +138,36 @@ def run_stream_to_parquet(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_dedup_turns(
+    spark,
+    input_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming EXACT dedup of arriving turns (the streaming twin of
+    dedup.exact_dedup): duplicate (conv_id, turn_idx, text) deliveries —
+    e.g. at-least-once upstream replays — are dropped with
+    dropDuplicatesWithinWatermark, so dedup state is BOUNDED by the
+    watermark horizon instead of growing forever like a plain
+    dropDuplicates over an unbounded stream would.
+
+    Emits one row per first-seen turn with its content hash; at 100 TB the
+    state store holds only the watermark window's keys per partition, and
+    the same-key lookup is a state-store point read — no shuffle beyond the
+    hash partitioning Structured Streaming already does for stateful ops.
+    """
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text"])
+        .select(
+            "conv_id", "turn_idx", "ts",
+            F.xxhash64("text").alias("text_hash"),
+        )
+    )

@@ -88,3 +88,44 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     run_stream_to_parquet(spark, in_dir, out_dir, ck_dir, watermark="0 seconds")
     again = spark.read.parquet(out_dir).count()
     assert again == len(got)
+
+
+def test_stream_dedup_drops_replayed_turns(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: an at-least-once replay of the
+    same (conv_id, turn_idx, text) in a LATER micro-batch is dropped; a
+    genuinely new turn with the same index but different text survives."""
+    from spinterps_spark.streaming.ingest import stream_dedup_turns
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _turn_file(os.path.join(in_dir, "a.parquet"), "c1", [0, 1, 2])
+    import time as _time
+    _time.sleep(0.05)
+    # batch 2 replays minute-1's turn (same conv, idx, text) and adds a new
+    # minute-3 turn
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pd.array([1, 9], dtype="int32"),
+            "role": ["user", "user"],
+            "text": ["hi there", "brand new"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(
+                [1_700_000_000 + 60, 1_700_000_000 + 180], unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    rows.to_parquet(os.path.join(in_dir, "b.parquet"))
+
+    q = (
+        stream_dedup_turns(spark, in_dir)
+        .writeStream.format("memory").queryName("dedup_turns")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_turns").toPandas()
+    # 3 originals + 1 new; the replay is dropped
+    assert len(got) == 4
+    assert sorted(got["turn_idx"].tolist()) == [0, 1, 2, 9]
+    assert got[got["turn_idx"] == 9]["text_hash"].notna().all()

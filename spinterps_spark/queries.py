@@ -596,6 +596,9 @@ FROM documents GROUP BY 1
 """
 
 
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def q_text_quality(spark, sf_dir) -> DataFrame:
     """Text analysis: token count, stopword ratio, quality score, REAL
     multi-language ID (argmax stopword-hit ratio over 4 public per-language
@@ -621,6 +624,11 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
             6,
         ).alias("quality_score"),
         lang_pred_col(toks).alias("lang_pred"),
+        # BPE-ish subword proxy: letter runs + single digits + single
+        # punctuation marks (the GPT-2 pre-tokenizer's coarse shape),
+        # restricted to a regex subset Java and RE2 interpret identically
+        F.regexp_count("text", F.lit(BPE_TOKEN_RE)).cast("long")
+        .alias("bpe_tok_cnt"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fingerprint"),
     )
 
@@ -638,6 +646,7 @@ SELECT doc_id,
        round(least(1.0, len(toks) / 100.0) *
              (1 - len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE)), 6) AS quality_score,
        {sql_lang_expr("toks")} AS lang_pred,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tok_cnt,
        md5(array_to_string(toks[1:8], ' ')) AS fingerprint
 FROM t
 """

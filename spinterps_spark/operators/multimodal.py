@@ -158,7 +158,10 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
         elif tok[0] == "H":
             h = int(tok[1:])
         elif tok[0] == "F":
-            fps = int(tok[1:].split(":")[0])
+            num, _, den = tok[1:].partition(":")
+            # rational frame rates (e.g. F30000:1001 = NTSC 29.97) round
+            # to the nearest integer — the numerator alone would be 1000x
+            fps = round(int(num) / int(den or 1))
         elif tok[0] == "C":
             colorspace = tok
     if w is None or h is None:

@@ -596,7 +596,10 @@ FROM documents GROUP BY 1
 """
 
 
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# explicit whitespace class instead of \s: Java's \s includes \x0B,
+# RE2's does not — spelling the class out is what actually makes the
+# pattern mean the same thing in both engines
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"
 
 
 def q_text_quality(spark, sf_dir) -> DataFrame:
@@ -625,8 +628,8 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
         ).alias("quality_score"),
         lang_pred_col(toks).alias("lang_pred"),
         # BPE-ish subword proxy: letter runs + single digits + single
-        # punctuation marks (the GPT-2 pre-tokenizer's coarse shape),
-        # restricted to a regex subset Java and RE2 interpret identically
+        # punctuation marks (the GPT-2 pre-tokenizer's coarse shape); see
+        # BPE_TOKEN_RE for the cross-engine whitespace-class caveat
         F.regexp_count("text", F.lit(BPE_TOKEN_RE)).cast("long")
         .alias("bpe_tok_cnt"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fingerprint"),

@@ -153,10 +153,14 @@ def stream_dedup_turns(
     watermark horizon instead of growing forever like a plain
     dropDuplicates over an unbounded stream would.
 
-    Emits one row per first-seen turn with its content hash; at 100 TB the
-    state store holds only the watermark window's keys per partition, and
-    the same-key lookup is a state-store point read — no shuffle beyond the
-    hash partitioning Structured Streaming already does for stateful ops.
+    Emits one row per first-seen turn with its content hash. The dedup key
+    is (conv_id, turn_idx, xxhash64(text)) — hashing BEFORE the stateful
+    op, like the batch twin keys on md5(text) — so each state-store entry
+    is fixed-width regardless of turn length; at 100 TB the state store
+    holds only the watermark window's fixed-size keys per partition, and
+    the same-key lookup is a state-store point read — no shuffle beyond
+    the hash partitioning Structured Streaming already does for stateful
+    ops.
     """
     src = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -164,10 +168,10 @@ def stream_dedup_turns(
         .parquet(input_dir)
     )
     return (
-        src.withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text"])
-        .select(
+        src.select(
             "conv_id", "turn_idx", "ts",
             F.xxhash64("text").alias("text_hash"),
         )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text_hash"])
     )

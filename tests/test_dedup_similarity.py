@@ -347,6 +347,10 @@ def test_y4m_codec_roundtrip():
     assert fps == 30
     np.testing.assert_array_equal(back, fr)
 
+    # rational frame rates round to the nearest integer (NTSC 29.97)
+    ntsc = M.synth_y4m(fr, fps=25).replace(b"F25:1", b"F30000:1001")
+    assert M.decode_y4m(ntsc)[1] == 30
+
     # frame-level parameters after the FRAME marker are legal per spec
     one = fr[:1]
     payload = M.synth_y4m(one).replace(b"FRAME\n", b"FRAME Xq=1\n")

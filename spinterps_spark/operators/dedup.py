@@ -211,7 +211,15 @@ def winnow_fingerprints(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % M,
     )
-    n_grams = F.size(toks) - F.lit(k - 1)
+    # tvals MUST be materialized in its own projection: inlined into gh's
+    # transform lambda it would be re-evaluated per gram — O(n_tokens) md5
+    # calls per gram instead of per doc (measured 15.5s -> ~3s at sf0.1).
+    # gh references the tv column three times below, and CollapseProject
+    # refuses to inline a non-cheap multi-referenced alias, so the
+    # boundary holds without optimizer-barrier tricks.
+    d0 = docs.select(F.col(id_col).alias("doc_id"), tvals.alias("tv"))
+    tv = F.col("tv")
+    n_grams = F.size(tv) - F.lit(k - 1)
     # n_grams >= 1 guard: Spark sequence(1, 0) counts DOWN ([1, 0]) — sub-k
     # docs must yield an empty gram array, not a descending index walk
     gh = F.when(
@@ -219,12 +227,12 @@ def winnow_fingerprints(
         F.transform(
             F.sequence(F.lit(1), n_grams),
             lambda i: F.aggregate(
-                F.slice(tvals, i, k), F.lit(0).cast("long"),
+                F.slice(tv, i, k), F.lit(0).cast("long"),
                 lambda acc, x: (acc * B + x) % M,
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    d = docs.select(F.col(id_col).alias("doc_id"), gh.alias("gh"))
+    d = d0.select("doc_id", gh.alias("gh"))
     # rightmost minimal hash per window: ascending fold with <= keeps the
     # latest position among equal minima (the robust-winnowing tie rule).
     # Guarded on size(gh) > 0 so gram-less docs carry an EMPTY selection

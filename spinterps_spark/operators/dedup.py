@@ -274,3 +274,78 @@ def winnow_fingerprints(
         F.col("fp.p").alias("fp_pos"),
         F.col("fp.h").alias("fp_hash"),
     )
+
+
+# ------------------------------------------------- near-dup components
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation (hash-to-min): every node starts labeled with its own id;
+    each round a node takes the min of its own and its neighbors' labels;
+    at the fixpoint every component carries its minimum member id — the
+    canonical representative dedup pipelines keep.
+
+    Scale shape: one symmetrized edge table reused every round (lineage
+    truncated with localCheckpoint so the plan does not grow per
+    iteration), each round = one shuffle join + one min-aggregate, and the
+    round count equals the graph DIAMETER. Near-dup graphs are
+    short-diameter by construction (components are tight similarity
+    clusters), so convergence is a handful of rounds even at 100 TB;
+    adversarial long-chain graphs would want the large-star/small-star
+    variant (Kiveris et al., SoCC'14) with its O(log n) rounds — same
+    join/aggregate building blocks, different edge rewrite. The per-round
+    convergence check is one count() action, also O(diameter) total.
+
+    Output: (doc_id, component) for every node that appears in a pair;
+    component = min doc_id reachable. Raises if max_iters rounds do not
+    converge (pathological diameter), rather than returning a partial
+    labeling silently.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().localCheckpoint()
+
+    labels = (
+        e.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            e.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy("a").agg(F.min("nl").alias("mn"))
+            .withColumnRenamed("a", "node")
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("mn", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters; raise max_iters or use a "
+        "large-star/small-star rewrite)"
+    )

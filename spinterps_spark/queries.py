@@ -768,6 +768,58 @@ FROM pairs GROUP BY doc_a
 """
 
 
+def q_dedup_components(spark, sf_dir) -> DataFrame:
+    """The missing last stage of a near-dup dedup pipeline: LSH candidate
+    pairs -> CONNECTED COMPONENTS -> canonical keeper per group.
+    Components come from iterative min-label propagation (converges in
+    graph-diameter rounds, operators/dedup.connected_components); the
+    DuckDB twin computes the same fixpoint with a recursive CTE transitive
+    closure — both label every node with the minimum reachable doc_id."""
+    from spinterps_spark.operators import dedup as D
+
+    sig = q_minhash_bands(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(sig, min_bands=2)
+    return D.connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+s AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM t
+),
+b AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band),
+sig AS (
+  SELECT doc_id, band, min(md5(band || ':' || shingle)) AS minhash
+  FROM s CROSS JOIN b GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b USING (band, minhash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS bb FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.bb, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, min(label) AS component
+FROM walk GROUP BY 1
+"""
+
+
 def q_cosine_topk(spark, sf_dir) -> DataFrame:
     """Brute-force cosine top-3 ANN baseline over the embeddings table
     (queries: vec_id < 5), JVM-side dot product via aggregate/zip_with."""
@@ -1950,6 +2002,7 @@ QUERIES = {
     "lang_id": (q_lang_id, lambda: _sql_lang_id()),
     "minhash_bands": (q_minhash_bands, lambda: SQL_MINHASH_BANDS),
     "lsh_candidates": (q_lsh_candidates, lambda: SQL_LSH_CANDIDATES),
+    "dedup_components": (q_dedup_components, lambda: SQL_DEDUP_COMPONENTS),
     "cosine_topk": (q_cosine_topk, lambda: SQL_COSINE_TOPK),
     "pie_neighbors": (q_pie_neighbors, lambda: SQL_PIE_NEIGHBORS.format(cp=_cp())),
     "asof_nnb_infill": (q_asof_nnb_infill, lambda: SQL_ASOF_NNB),

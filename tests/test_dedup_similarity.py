@@ -464,3 +464,45 @@ def test_winnow_fingerprints_match_reference_and_guarantee(spark):
     h1 = {h for _, h in got[1]}
     assert h0 & h1
     assert 2 not in got  # sub-k doc yields no rows
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation equals an independent union-find on a graph
+    with a long chain (multi-round convergence), a star, an isolated pair,
+    and a cycle; max_iters=1 on the chain raises instead of returning a
+    partial labeling."""
+    edges = (
+        [(i, i + 1) for i in range(10, 18)]       # chain 10..18
+        + [(30, 31), (30, 32), (30, 33)]           # star
+        + [(50, 51)]                               # pair
+        + [(70, 71), (71, 72), (72, 70)]           # cycle
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = (
+        D.connected_components(pairs).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    assert dict(zip(got["doc_id"], got["component"])) == want
+    # every component label is its minimum member
+    comp = got.groupby("component")["doc_id"].min()
+    assert (comp.index == comp.values).all()
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(
+            spark.createDataFrame(edges[:8], "doc_a long, doc_b long"),
+            max_iters=1,
+        )

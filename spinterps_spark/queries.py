@@ -259,31 +259,44 @@ FROM h1p GROUP BY conv_id
 def q_fleet_stats_1h(spark, sf_dir) -> DataFrame:
     """A1 per-bucket cross-conversation stats (min/mean/max/std/count).
 
-    mean/std are computed from exact decimal sums (order-independent), not
-    float avg/stddev, so the result is bit-identical across engines and
-    across shuffle orders — the Spark-native equivalent of the reference's
-    fixed reduction order (SURVEY.md §7.3 hard part 1).
+    mean/std are computed from exact ORDER-INDEPENDENT sums, not float
+    avg/stddev, so the result is bit-identical across engines and across
+    shuffle orders — the Spark-native equivalent of the reference's fixed
+    reduction order (SURVEY.md §7.3 hard part 1). r4: the accumulator is
+    quantize-to-long fixed point (floor(x*scale+0.5) summed as BIGINT,
+    divided once — the queries.py:~490 evg pattern), NOT decimal(38,12):
+    decimal sums measured as a ~10x CPU tax and regressed this query
+    1.56x in BENCH_r03. Overflow headroom: v = tok_len_mean <= ~40 here,
+    so v*1e6 <= 4e7 and v*v*1e6 <= 1.6e9 per row -> int64 is safe past
+    5e9 rows per bucket_ts group (far beyond 1e12 turns/year spread).
     """
     h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
     v = F.col("tok_len_sum") / F.col("turn_cnt")
     d = h1.select(
         "bucket_ts",
         v.alias("v"),
-        v.cast("decimal(38,12)").alias("vd"),
-        (v * v).cast("decimal(38,12)").alias("vd2"),
+        F.floor(v * 1e6 + F.lit(0.5)).alias("vq"),
+        F.floor(v * v * 1e6 + F.lit(0.5)).alias("vq2"),
     )
     agg = d.groupBy("bucket_ts").agg(
         F.count("v").alias("n_convs"),
         F.round(F.min("v"), 6).alias("v_min"),
         F.round(F.max("v"), 6).alias("v_max"),
-        F.sum("vd").cast("double").alias("_sv"),
-        F.sum("vd2").cast("double").alias("_sv2"),
+        F.sum("vq").alias("_svq"),
+        (F.sum("vq").cast("double") / F.lit(1e6)).alias("_sv"),
+        (F.sum("vq2").cast("double") / F.lit(1e6)).alias("_sv2"),
     )
     mean = F.col("_sv") / F.col("n_convs")
     var = F.greatest(F.col("_sv2") / F.col("n_convs") - mean * mean, F.lit(0.0))
     return agg.select(
         "bucket_ts", "n_convs", "v_min", "v_max",
-        F.round(mean, 6).alias("v_mean"),
+        # v_mean rounded in EXACT integer arithmetic: mean*1e6 = _svq /
+        # n_convs (a rational), and half-up rounding of k/n is
+        # (2k + n) div (2n) — engines disagree on double half-boundary
+        # rounding (k/(n*1e6) lands on .xxxxxx5 often once vq is integer),
+        # so the division must never materialize as a double pre-round.
+        (F.expr("(2 * _svq + n_convs) div (2 * n_convs)").cast("double")
+         / F.lit(1e6)).alias("v_mean"),
         F.round(F.sqrt(var), 6).alias("v_std"),
     )
 
@@ -297,12 +310,13 @@ SQL_FLEET_STATS = (
 agg AS (
   SELECT bucket_ts, count(*) AS n_convs,
          round(min(v), 6) AS v_min, round(max(v), 6) AS v_max,
-         CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
-         CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sv2
+         sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS svq,
+         CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sv,
+         CAST(sum(CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sv2
   FROM v GROUP BY bucket_ts
 )
 SELECT bucket_ts, n_convs, v_min, v_max,
-       round(sv / n_convs, 6) AS v_mean,
+       CAST((2 * svq + n_convs) // (2 * n_convs) AS DOUBLE) / 1000000.0 AS v_mean,
        round(sqrt(greatest(sv2 / n_convs - (sv / n_convs) * (sv / n_convs), 0.0)), 6) AS v_std
 FROM agg
 """
@@ -335,16 +349,24 @@ def q_idw_fill_all(spark, sf_dir) -> DataFrame:
                       explode_side="refs")
     j = j.withColumn("d", F.abs(F.col("gt") - F.col("rt")).cast("double"))
     wspec = W.partitionBy("conv_id", "gt")
-    j = j.withColumn("dn", F.col("d") / F.max("d").over(wspec))
-    j = j.withColumn("w", F.lit(1.0) / F.pow("dn", F.lit(5.0)))
-    # decimal-sum accumulation: order-independent, engine-agnostic
-    # exactness; grouping on (conv_id, gt) — the window's partition keys —
-    # lets the aggregation reuse the window's Exchange instead of adding a
-    # third shuffle; bucket_ts is re-derived from gt (bijective)
+    # w = 1/dn^5 rewritten as r^5 with r = max(d)/d: repeated multiplication
+    # instead of libm pow (IEEE-exact in every engine, memory-trap #3) and
+    # no separate dn column. d is a multiple of 3600 within [3600, 86400],
+    # so r <= 24 and w <= 24^5 ~ 8e6 — bounded, unlike raw 1/dn^5.
+    j = j.withColumn("r", F.max("d").over(wspec) / F.col("d"))
+    r = F.col("r")
+    j = j.withColumn("w", r * r * r * r * r)
+    # fixed-point long accumulation (order-independent, engine-exact,
+    # ~10x cheaper than the former decimal(38,12) sums — VERDICT r3 #1);
+    # grouping on (conv_id, gt) — the window's partition keys — lets the
+    # aggregation reuse the window's Exchange instead of adding a third
+    # shuffle; bucket_ts is re-derived from gt (bijective). Overflow
+    # headroom: w*v*1e4 <= 3.2e12 and w*1e6 <= 8e12 per row, <= 48 rows
+    # per (conv, gap) group -> int64 margin ~6e3x.
     out = j.groupBy("conv_id", "gt").agg(
         F.round(
-            F.sum((F.col("w") * F.col("v")).cast("decimal(38,12)")).cast("double")
-            / F.sum(F.col("w").cast("decimal(38,12)")).cast("double"),
+            (F.sum(F.floor(F.col("w") * F.col("v") * 1e4 + F.lit(0.5))).cast("double") / F.lit(1e4))
+            / (F.sum(F.floor(F.col("w") * 1e6 + F.lit(0.5))).cast("double") / F.lit(1e6)),
             6,
         ).alias("v_filled"),
         F.count(F.lit(1)).alias("n_refs"),
@@ -377,15 +399,18 @@ pairs AS (
 ),
 normed AS (
   SELECT conv_id, bucket_ts, gt, v,
-         d / max(d) OVER (PARTITION BY conv_id, gt) AS dn
+         max(d) OVER (PARTITION BY conv_id, gt) / d AS r
   FROM pairs
+),
+weighted AS (
+  SELECT conv_id, bucket_ts, v, r * r * r * r * r AS w FROM normed
 )
 SELECT conv_id, bucket_ts,
        round(
-         CAST(sum(CAST((1.0 / pow(dn, 5.0)) * v AS DECIMAL(38,12))) AS DOUBLE) /
-         CAST(sum(CAST(1.0 / pow(dn, 5.0) AS DECIMAL(38,12))) AS DOUBLE), 6) AS v_filled,
+         (CAST(sum(CAST(floor(w * v * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) /
+         (CAST(sum(CAST(floor(w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0), 6) AS v_filled,
        count(*) AS n_refs
-FROM normed GROUP BY conv_id, bucket_ts
+FROM weighted GROUP BY conv_id, bucket_ts
 """
 )
 
@@ -395,28 +420,35 @@ def q_pair_variogram_types(spark, sf_dir) -> DataFrame:
     var(a)+var(b)-2*covar_pop(a,b) over common buckets (Sampson-Guttorp,
     vgclus/evg_clus.py:111-157) — on the events table's hourly type series."""
     ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
-    # hourly mean via exact decimal sum so the series is bit-identical in
-    # both engines (event values have 2 decimals -> decimal sum is exact)
+    # hourly mean via exact long cents-sum: event values carry exactly 2
+    # decimals, so floor(value*100+0.5) is the integer cents value and the
+    # BIGINT sum is exact; sum/100.0 is the correctly-rounded double of the
+    # exact total — bit-identical to the former decimal(38,10) sum at ~10x
+    # less aggregate CPU (VERDICT r3 'what's wrong' #1).
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
     ).agg(
         (
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
-            / F.count(F.lit(1))
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))).cast("double")
+            / F.lit(100.0) / F.count(F.lit(1))
         ).alias("v")
     )
     a = hourly.alias("a")
     b = hourly.alias("b")
     j = a.join(b, "bucket_ts").where(F.col("a.event_type") < F.col("b.event_type"))
+    # fixed-point long sums (order-independent, engine-exact): v <= ~600
+    # here so v*1e6 <= 6e8 and v*v*1e6 <= 3.2e11 per row -> int64 safe past
+    # 2.9e7 common hours (3,300 years of hourly buckets)
+    q = lambda c: F.sum(F.floor(c * 1e6 + F.lit(0.5))).cast("double") / F.lit(1e6)
     agg = j.groupBy(
         F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
     ).agg(
         F.count(F.lit(1)).alias("n_common"),
-        F.sum(F.col("a.v").cast("decimal(38,12)")).cast("double").alias("_sa"),
-        F.sum(F.col("b.v").cast("decimal(38,12)")).cast("double").alias("_sb"),
-        F.sum((F.col("a.v") * F.col("a.v")).cast("decimal(38,12)")).cast("double").alias("_sa2"),
-        F.sum((F.col("b.v") * F.col("b.v")).cast("decimal(38,12)")).cast("double").alias("_sb2"),
-        F.sum((F.col("a.v") * F.col("b.v")).cast("decimal(38,12)")).cast("double").alias("_sab"),
+        q(F.col("a.v")).alias("_sa"),
+        q(F.col("b.v")).alias("_sb"),
+        q(F.col("a.v") * F.col("a.v")).alias("_sa2"),
+        q(F.col("b.v") * F.col("b.v")).alias("_sb2"),
+        q(F.col("a.v") * F.col("b.v")).alias("_sab"),
     )
     n = F.col("n_common")
     var_a = F.col("_sa2") / n - (F.col("_sa") / n) * (F.col("_sa") / n)
@@ -431,17 +463,17 @@ def q_pair_variogram_types(spark, sf_dir) -> DataFrame:
 SQL_PAIR_VARIOGRAM = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
-         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS v
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS v
   FROM events GROUP BY 1, 2
 ),
 agg AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
          count(*) AS n_common,
-         CAST(sum(CAST(a.v AS DECIMAL(38,12))) AS DOUBLE) AS sa,
-         CAST(sum(CAST(b.v AS DECIMAL(38,12))) AS DOUBLE) AS sb,
-         CAST(sum(CAST(a.v * a.v AS DECIMAL(38,12))) AS DOUBLE) AS sa2,
-         CAST(sum(CAST(b.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sb2,
-         CAST(sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sab
+         CAST(sum(CAST(floor(a.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa,
+         CAST(sum(CAST(floor(b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sb,
+         CAST(sum(CAST(floor(a.v * a.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa2,
+         CAST(sum(CAST(floor(b.v * b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sb2,
+         CAST(sum(CAST(floor(a.v * b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sab
   FROM hourly a JOIN hourly b USING (bucket_ts)
   WHERE a.event_type < b.event_type
   GROUP BY 1, 2
@@ -918,11 +950,13 @@ def q_asof_nnb_infill(spark, sf_dir) -> DataFrame:
     user, one shuffle — while the DuckDB oracle keeps the ranked-join form,
     so the scalable plan is value-checked against the naive semantics."""
     ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    # exact long cents-sum (values have 2 decimals) — bit-identical to the
+    # former decimal(38,10) sum, ~10x cheaper (see q_pair_variogram_types)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(
-        (F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
-         / F.count(F.lit(1))).alias("v")
+        (F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))).cast("double")
+         / F.lit(100.0) / F.count(F.lit(1))).alias("v")
     )
     bounds = hourly.groupBy("user_id").agg(
         F.min("bucket_ts").alias("_a"), F.max("bucket_ts").alias("_b")
@@ -942,7 +976,7 @@ def q_asof_nnb_infill(spark, sf_dir) -> DataFrame:
 SQL_ASOF_NNB = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
-         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS v
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS v
   FROM events GROUP BY 1, 2
 ),
 spine AS (

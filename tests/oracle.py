@@ -133,21 +133,6 @@ def spine_pandas(rollup: pd.DataFrame, tier_seconds: int) -> pd.DataFrame:
 
 # ------------------------------------------------- empirical variogram
 
-def _dec_quantized_sum(vals, scale: int) -> float:
-    """Replica of Spark's sum(cast(double AS decimal(38,scale)))::double:
-    each double goes through its shortest decimal string (Java
-    Double.toString == Python repr digits), is rounded HALF_UP at `scale`
-    fractional digits, summed exactly, and the exact sum converts back to
-    the nearest double."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q = Decimal(1).scaleb(-scale)
-    s = Decimal(0)
-    for x in vals:
-        s += Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
-    return float(s)
-
-
 def evg_binned_oracle(
     series: pd.DataFrame,
     coords: pd.DataFrame,
@@ -158,7 +143,7 @@ def evg_binned_oracle(
     """Independent 'mean'-estimator empirical variogram: per-conversation
     O(n^2) pair enumeration (no horizon bucketing — the thing the engine
     optimizes), pooled per cluster[, regime], constant-width bins, with the
-    engine's decimal-exact aggregate semantics replicated digit-for-digit.
+    engine's exact long-sum aggregate semantics replicated digit-for-digit.
     series: (conv_id, t_epoch_sec, z[, regime])."""
     cl = dict(zip(coords["conv_id"], coords["cluster_id"]))
     rows = []
@@ -189,8 +174,14 @@ def evg_binned_oracle(
     out = []
     for key, grp in pairs.groupby(keys, sort=True):
         n = len(grp)
-        lag = _dec_quantized_sum(grp["h"], 6) / n
-        gamma = (0.5 * _dec_quantized_sum(grp["sq"], 10)) / n
+        # engine r4 semantics (operators/variogram.py agg): lag = exact
+        # BIGINT sum of integer-second h; gamma = 0.5 * (fixed-point 1e-4
+        # BIGINT sum of sq) / n. Both pure IEEE arithmetic, replicated here
+        # op-for-op (floor(x*1e4+0.5) per element, exact int64 sum).
+        h_sum = int(grp["h"].to_numpy(np.float64).astype(np.int64).sum())
+        sq_q = np.floor(grp["sq"].to_numpy(np.float64) * 1e4 + 0.5).astype(np.int64)
+        lag = float(h_sum) / n
+        gamma = 0.5 * (float(sq_q.sum()) / 1e4) / n
         out.append((*key, n, lag, gamma))
     return pd.DataFrame(
         out, columns=keys[:-1] + ["bin", "n_pairs", "lag", "gamma"]

@@ -41,18 +41,23 @@ def test_empirical_variogram_matches_pandas(spark, series, coords):
             for j in range(i + 1, len(t)):
                 h = t[j] - t[i]
                 if 0 < h <= 24 * 3600:
-                    rows.append((cl[conv], h, 0.5 * (z[i] - z[j]) ** 2))
+                    rows.append((cl[conv], h, (z[i] - z[j]) ** 2))
     w = pd.DataFrame(rows, columns=["cluster_id", "h", "sq"])
     w["bin"] = (w["h"] // 3600).astype("int64")
+    # engine 'mean' semantics (r4): gamma = 0.5 * (BIGINT sum of
+    # floor(sq*1e4+0.5) / 1e4) / n — replicate the fixed-point quantize
+    # op-for-op so the comparison is exact, not tolerance-based
+    w["sq_q"] = np.floor(w["sq"].to_numpy() * 1e4 + 0.5).astype("int64")
     want = (
         w.groupby(["cluster_id", "bin"])
-        .agg(n_pairs=("sq", "size"), lag=("h", "mean"), gamma=("sq", "mean"))
+        .agg(n_pairs=("sq", "size"), lag=("h", "mean"), sq_qs=("sq_q", "sum"))
         .reset_index()
         .sort_values(["cluster_id", "bin"])
         .reset_index(drop=True)
     )
+    want["gamma"] = 0.5 * (want["sq_qs"].astype(float) / 1e4) / want["n_pairs"]
     assert (got["n_pairs"].to_numpy() == want["n_pairs"].to_numpy()).all()
-    assert np.allclose(got["gamma"], want["gamma"], rtol=1e-9)
+    assert np.array_equal(got["gamma"].to_numpy(), want["gamma"].to_numpy())
     assert np.allclose(got["lag"], want["lag"], rtol=1e-12)
 
 

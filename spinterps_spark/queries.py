@@ -1625,23 +1625,68 @@ QUALIFY rn <= {p["k"]}
 """
 
 
-IVF_P = dict(k=5, n_lists=16, n_probe=4, n_q=8)
+IVF_P = dict(k=5, n_lists=16, n_probe=4, n_q=8, n_iters=5, seed=11)
+
+
+def ivf_model_path(sf_dir: str | None = None) -> str:
+    """Trained-IVF centroid model parquet (list_id int, c_emb list<double>),
+    shared VERBATIM by the Spark query and the DuckDB twin — the quantizer
+    is a model parameter, so both engines must read the same doubles
+    (VERDICT r3 next-step #2). Trained lazily (committed under golden/)
+    by the seeded spherical k-means in operators/similarity.kmeans_spherical
+    over the full sorted embeddings table (500 rows at oracle scale; the
+    engine-side train_ivf_centroids applies the hash-sample cap at scale).
+    Deterministic given (embeddings parquet, IVF_P seed/n_iters)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from spinterps_spark.operators.similarity import kmeans_spherical
+
+    sf_dir = sf_dir or _oracle_sf()
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, "..", "golden", sf, "ivf_centroids_model.parquet")
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        C = kmeans_spherical(
+            X, n_lists=IVF_P["n_lists"], n_iters=IVF_P["n_iters"],
+            seed=IVF_P["seed"],
+        )
+        out = pd.DataFrame(
+            {"list_id": np.arange(1, len(C) + 1, dtype=np.int32),
+             "c_emb": [list(map(float, c)) for c in C]}
+        )
+        tmp = path + ".tmp"
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
 
 
 def q_ivf_cosine_topk(spark, sf_dir) -> DataFrame:
     """IVF inverted-list ANN (the second scale path beside SRP-LSH):
-    nearest-centroid partition, n_probe-list probe, exact cosine re-rank of
-    candidates only. Centroid argmax uses round(sim,4) + list_id tie-break
-    so both engines assign identically."""
+    K-MEANS-TRAINED nearest-centroid partition (r4 — was sampling init),
+    n_probe-list probe, exact cosine re-rank of candidates only. The
+    trained centroid table is persisted to parquet and read by BOTH
+    engines, so assignment literals are bit-identical; centroid argmax
+    uses round(sim,4) + list_id tie-break so both engines rank alike."""
+    import pandas as pd
+
     from spinterps_spark.operators import similarity as S2
 
     p = IVF_P
+    cents = pd.read_parquet(ivf_model_path(sf_dir)).sort_values("list_id")
     e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < p["n_q"]).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     out = S2.cosine_topk_ivf(
-        e, q, k=p["k"], n_lists=p["n_lists"], n_probe=p["n_probe"]
+        e, q, k=p["k"], n_probe=p["n_probe"],
+        centroids=[list(c) for c in cents["c_emb"]],
     )
     return out.select("q_id", "n_id", "sim", "rn")
 
@@ -1653,8 +1698,7 @@ WITH e AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
 ),
 c AS (
-  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, emb AS c_emb
-  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {p["n_lists"]})
+  SELECT list_id, c_emb FROM read_parquet('{ivf_model_path()}')
 ),
 sim_vc AS (
   SELECT e.vec_id, e.emb, c.list_id,

@@ -506,3 +506,83 @@ def test_connected_components_vs_union_find(spark):
             spark.createDataFrame(edges[:8], "doc_a long, doc_b long"),
             max_iters=1,
         )
+
+
+# ---------------------------------------------------- trained IVF (r4)
+
+def _ivf_recall(spark, vec_pdf, centroids, k=10, n_probe=4, n_q=12):
+    """Recall@k of cosine_topk_ivf vs brute force on a pandas fixture."""
+    df = spark.createDataFrame(vec_pdf)
+    q = df.where(F.col("vec_id") < n_q).withColumnRenamed("vec_id", "q_id")
+    exact = SIM.cosine_topk_bruteforce(df, q, k=k).toPandas()
+    approx = SIM.cosine_topk_ivf(
+        df, q, k=k, n_lists=16, n_probe=n_probe, centroids=centroids
+    ).toPandas()
+    e = set(map(tuple, exact[["q_id", "n_id"]].to_numpy()))
+    a = set(map(tuple, approx[["q_id", "n_id"]].to_numpy()))
+    return len(e & a) / len(e)
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs():
+    """Seeded 16-cluster fixture on the unit sphere — data with real
+    structure, the case a trained quantizer exists for (near-uniform
+    random vectors have no structure for k-means to learn)."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, 16, size=600)
+    Y = centers[lab] * 3.0 + rng.normal(size=(600, 64)) * 0.6
+    return pd.DataFrame(
+        {"vec_id": np.arange(600), "embedding": [list(map(float, y)) for y in Y]}
+    )
+
+
+def test_ivf_trained_centroids_beat_sampling_init(spark, clustered_vecs):
+    """VERDICT r3 next-step #2 'done' gate: recall@10 with k-means-trained
+    centroids strictly above the sampling-init recall on the seeded
+    clustered fixture, at the SAME n_probe (scanned fraction comparable —
+    training must win on quantizer quality, not by scanning more)."""
+    X = np.array(clustered_vecs["embedding"].tolist(), dtype=np.float64)
+    trained = [list(map(float, c)) for c in SIM.kmeans_spherical(X, 16, 5, 11)]
+    sampling = [list(map(float, x)) for x in X[:16]]
+    r_trained = _ivf_recall(spark, clustered_vecs, trained)
+    r_sampling = _ivf_recall(spark, clustered_vecs, sampling)
+    assert r_trained > r_sampling, (r_trained, r_sampling)
+    assert r_trained >= 0.9, r_trained
+
+
+def test_train_ivf_centroids_matches_numpy_core(spark, emb):
+    """The DataFrame-facing trainer (hash-sample + collect + Lloyd) equals
+    the raw numpy core when the table fits under sample_max — same sorted
+    input, same seed, bit-identical centroids."""
+    got = SIM.train_ivf_centroids(emb, n_lists=8, n_iters=3, seed=11)
+    pdf = emb.toPandas().sort_values("vec_id")
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    want = SIM.kmeans_spherical(X, n_lists=8, n_iters=3, seed=11)
+    np.testing.assert_array_equal(np.array(got, dtype=np.float64), want)
+
+
+def test_ivf_model_parquet_drift_alarm():
+    """The committed trained-centroid model must equal a fresh
+    regeneration from the embeddings parquet (same guarantee
+    tests/test_golden.py gives the kernel goldens)."""
+    import os
+    import tempfile
+
+    from spinterps_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    committed = pd.read_parquet(Q.ivf_model_path(sf))
+    X = np.array(
+        pd.read_parquet(f"{sf}/embeddings.parquet")
+        .sort_values("vec_id")["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    fresh = SIM.kmeans_spherical(
+        X, n_lists=Q.IVF_P["n_lists"], n_iters=Q.IVF_P["n_iters"],
+        seed=Q.IVF_P["seed"],
+    )
+    np.testing.assert_array_equal(
+        np.array(committed.sort_values("list_id")["c_emb"].tolist()), fresh
+    )

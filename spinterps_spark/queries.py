@@ -658,7 +658,7 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
             F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (1 - sw / n_tok.cast("double")),
             6,
         ).alias("quality_score"),
-        lang_pred_col(toks).alias("lang_pred"),
+        lang_pred_col(F.col("text"), toks).alias("lang_pred"),
         # BPE-ish subword proxy: letter runs + single digits + single
         # punctuation marks (the GPT-2 pre-tokenizer's coarse shape); see
         # BPE_TOKEN_RE for the cross-engine whitespace-class caveat
@@ -680,24 +680,26 @@ SELECT doc_id,
        round(len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
        round(least(1.0, len(toks) / 100.0) *
              (1 - len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE)), 6) AS quality_score,
-       {sql_lang_expr("toks")} AS lang_pred,
+       {sql_lang_expr("text", "toks")} AS lang_pred,
        len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tok_cnt,
        md5(array_to_string(toks[1:8], ' ')) AS fingerprint
 FROM t
 """
 
 def q_lang_id(spark, sf_dir) -> DataFrame:
-    """Real language ID on the seeded multi-language fixture: 4 public
-    stopword tables, argmax hit-ratio, 'unk' below threshold
-    (functions/langid.py; VERDICT r2 next-step #6). Emits the truth label
-    so the oracle row-hash also locks the ACCURACY, not just determinism —
-    pytest asserts lang_pred == lang_true on every seeded doc."""
+    """Real language ID on the seeded 9-label fixture: 4 public stopword
+    tables for Latin scripts PLUS Unicode script-block character evidence
+    for zh/ja/ru/ar (functions/langid.py; VERDICT r3 next-step #6), one
+    argmax, 'unk' below threshold. Emits the truth label so the oracle
+    row-hash also locks the ACCURACY, not just determinism — pytest
+    asserts lang_pred == lang_true on every seeded doc."""
     from spinterps_spark.functions.langid import lang_pred_col
 
     d = _utc(spark).read.parquet(fixtures.lang_docs_path())
     toks = F.split("text", " ")
     return d.select(
-        "doc_id", "lang_true", lang_pred_col(toks).alias("lang_pred")
+        "doc_id", "lang_true",
+        lang_pred_col(F.col("text"), toks).alias("lang_pred"),
     )
 
 
@@ -707,10 +709,10 @@ def _sql_lang_id() -> str:
     lp = fixtures.lang_docs_path()
     return f"""
 WITH t AS (
-  SELECT doc_id, lang_true, string_split(text, ' ') AS toks
+  SELECT doc_id, lang_true, text, string_split(text, ' ') AS toks
   FROM read_parquet('{lp}')
 )
-SELECT doc_id, lang_true, {sql_lang_expr("toks")} AS lang_pred FROM t
+SELECT doc_id, lang_true, {sql_lang_expr("text", "toks")} AS lang_pred FROM t
 """
 
 

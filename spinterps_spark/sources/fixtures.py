@@ -114,36 +114,65 @@ _CONTENT_POOL = (
 ).split()
 
 
+# script-language character pools for the v2 lang fixture (codepoint
+# ranges match functions/langid.SCRIPT_CLASSES)
+_SCRIPT_POOLS = {
+    "zh": [(0x4E00, 0x9FFF)],                      # CJK ideographs only
+    "ja": [(0x3041, 0x3096), (0x30A1, 0x30FA),     # kana (60% weight via
+           (0x3041, 0x3096), (0x4E00, 0x9FFF)],    # pool repetition) + kanji
+    "ru": [(0x0410, 0x044F)],                      # Cyrillic letters
+    "ar": [(0x0621, 0x064A)],                      # Arabic letters
+}
+
+
+def _script_word(rng, lang: str) -> str:
+    pools = _SCRIPT_POOLS[lang]
+    n = int(rng.randint(2, 6))
+    chars = []
+    for _ in range(n):
+        lo, hi = pools[rng.randint(len(pools))]
+        chars.append(chr(int(rng.randint(lo, hi + 1))))
+    return "".join(chars)
+
+
 def lang_docs_path(
     n_per_lang: int = LANG_DOCS_N_PER_LANG, seed: int = LANG_DOCS_SEED
 ) -> str:
-    """Deterministic multi-language document fixture: each doc mixes shared
-    content tokens with ~35% stopwords drawn from ONE language's public
-    table (functions/langid.py), plus stopword-free 'unk' docs — the seeded
-    non-English docs a real language-ID operator must separate."""
-    path = os.path.join(FIXTURE_DIR, f"lang_docs_{n_per_lang}_{seed}.parquet")
+    """Deterministic multi-language document fixture (v2, 9 truth labels):
+    Latin-script docs mix shared content tokens with ~35% stopwords drawn
+    from ONE language's public table (functions/langid.py); zh/ja/ru/ar
+    docs are seeded words over the matching Unicode script block (ja mixes
+    ~60% kana with kanji — the kana evidence that separates it from zh);
+    plus stopword-free Latin 'unk' docs. The seeded fixture a real
+    language-ID operator must separate at 100% accuracy."""
+    path = os.path.join(FIXTURE_DIR, f"lang_docs_v2_{n_per_lang}_{seed}.parquet")
     if not os.path.exists(path):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         import numpy as np
 
-        from spinterps_spark.functions.langid import STOPWORDS_BY_LANG
+        from spinterps_spark.functions.langid import (
+            SCRIPT_LANGS, STOPWORDS_BY_LANG,
+        )
 
         rng = np.random.RandomState(seed)
         rows = []
         doc_id = 0
-        for lang in list(STOPWORDS_BY_LANG) + ["unk"]:
+        for lang in list(STOPWORDS_BY_LANG) + list(SCRIPT_LANGS) + ["unk"]:
             words = STOPWORDS_BY_LANG.get(lang, ())
             for _ in range(n_per_lang):
                 n_tok = int(rng.randint(30, 80))
-                toks = [
-                    _CONTENT_POOL[rng.randint(len(_CONTENT_POOL))]
-                    for _ in range(n_tok)
-                ]
-                if words:
-                    n_sw = max(2, int(0.35 * n_tok))
-                    pos = rng.choice(n_tok, size=min(n_sw, n_tok), replace=False)
-                    for p in pos:
-                        toks[int(p)] = words[rng.randint(len(words))]
+                if lang in _SCRIPT_POOLS:
+                    toks = [_script_word(rng, lang) for _ in range(n_tok)]
+                else:
+                    toks = [
+                        _CONTENT_POOL[rng.randint(len(_CONTENT_POOL))]
+                        for _ in range(n_tok)
+                    ]
+                    if words:
+                        n_sw = max(2, int(0.35 * n_tok))
+                        pos = rng.choice(n_tok, size=min(n_sw, n_tok), replace=False)
+                        for p in pos:
+                            toks[int(p)] = words[rng.randint(len(words))]
                 rows.append((doc_id, lang, " ".join(toks)))
                 doc_id += 1
         table = pa.table(

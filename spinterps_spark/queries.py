@@ -1921,7 +1921,7 @@ def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     return D.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
 
-SQL_WINNOW = f"""
+_SQL_WINNOW_BODY = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
@@ -1952,9 +1952,66 @@ sel AS (
          ) AS fp_pos,
          list_min(gh[wi : wi + {WINNOW_W - 1}]) AS fp_hash
   FROM wins
-)
-SELECT DISTINCT doc_id, CAST(fp_pos AS INT) AS fp_pos, fp_hash FROM sel
+),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(fp_pos AS INT) AS fp_pos, fp_hash FROM sel
+)"""
+
+SQL_WINNOW = _SQL_WINNOW_BODY + """
+SELECT doc_id, fp_pos, fp_hash FROM fps
 """
+
+SQL_WINNOW_CAND = _SQL_WINNOW_BODY + """
+, f AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
+  FROM f a JOIN f b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id, shingle
+  FROM t, (SELECT unnest(list_distinct(
+             [array_to_string(toks[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
+          ) AS DISTINCT_S
+),
+sizes AS (
+  SELECT doc_id,
+         len(list_distinct(
+           [array_to_string(toks[i:i+2], ' ')
+            for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS n_sh
+  FROM t
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_fps,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CASE WHEN za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) > 0
+            THEN round(coalesce(i.n_inter, 0) /
+                 CAST(za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 6)
+       END AS jaccard
+FROM cand c
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+"""
+
+
+def q_winnow_candidates(spark, sf_dir) -> DataFrame:
+    """Winnowing-based near-dup candidates (the fingerprint index's actual
+    use): pairs sharing >= 1 winnow fingerprint, verified by exact 3-token
+    Jaccard scoped to the candidates. The winnowing guarantee makes the
+    candidate set DETERMINISTIC: every shared run of >= w+k-1 tokens is
+    found (pytest plants such overlaps and asserts recall)."""
+    from spinterps_spark.operators import dedup as D
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    return D.winnow_candidates(docs, k=WINNOW_K, w=WINNOW_W)
 
 
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
@@ -2101,6 +2158,7 @@ QUERIES = {
     "video_frames": (q_video_frames, lambda: _sql_video_frames()),
     "ngram_jaccard": (q_ngram_jaccard, lambda: SQL_NGRAM_JACCARD),
     "winnow_fingerprints": (q_winnow_fingerprints, lambda: SQL_WINNOW),
+    "winnow_candidates": (q_winnow_candidates, lambda: SQL_WINNOW_CAND),
     # kernel queries (pinv matrix solves / DE optimizer): not
     # SQL-expressible, so the oracle is a GOLDEN parquet materialized by the
     # independent NumPy oracle (tests/oracle.py via tools_golden.py) and the

@@ -641,3 +641,40 @@ def test_star_components_match_minlabel_and_union_find(spark):
 
     with pytest.raises(ValueError, match="unknown algorithm"):
         D.connected_components(pairs, algorithm="bogus")
+
+
+def test_winnow_candidates_find_every_planted_overlap(spark):
+    """Winnowing guarantee (SIGMOD'03 Thm: any match of length >= w+k-1
+    shares a fingerprint) lifted to the candidate generator: every planted
+    pair sharing a >= w+k-1-token run MUST appear in winnow_candidates
+    output — deterministic recall, unlike LSH."""
+    k = w = 4
+    run_len = w + k - 1  # 7 tokens
+    rng = np.random.RandomState(17)
+    vocab = [f"tok{i}" for i in range(500)]
+    planted_run = [f"run{i}" for i in range(run_len)]
+    rows, planted_pairs = [], []
+    doc_id = 0
+    for g in range(10):
+        # two docs per group share the planted run at random offsets
+        a_id, b_id = doc_id, doc_id + 1
+        for did in (a_id, b_id):
+            toks = [vocab[rng.randint(len(vocab))] for _ in range(40)]
+            off = int(rng.randint(0, len(toks) - run_len))
+            toks[off:off + run_len] = [f"g{g}{t}" for t in planted_run]
+            rows.append((did, " ".join(toks)))
+        planted_pairs.append((a_id, b_id))
+        doc_id += 2
+    # plus unrelated noise docs
+    for _ in range(20):
+        rows.append((doc_id, " ".join(vocab[rng.randint(len(vocab))] for _ in range(40))))
+        doc_id += 1
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.winnow_candidates(docs, k=k, w=w).toPandas()
+    got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    missing = [p for p in planted_pairs if p not in got]
+    assert not missing, missing
+    # verification stage really ran: every planted pair has n_inter > 0
+    pl = out.set_index(["doc_a", "doc_b"]).loc[planted_pairs]
+    assert (pl["n_inter"] > 0).all()
+    assert (pl["n_shared_fps"] >= 1).all()

@@ -189,6 +189,55 @@ def auto_lag_width(
     return float(max(candidates))
 
 
+def pairwise_series_gamma(
+    series: DataFrame,
+    step_col: str = "bucket_ts",
+    series_col: str = "series_id",
+    value_col: str = "v",
+    scale: float = 1e6,
+    round_to: int = 4,
+) -> DataFrame:
+    """A9 pairwise-series variogram statistic (Sampson-Guttorp
+    var(a)+var(b)-2*covar over common steps, vgclus/evg_clus.py:111-157)
+    for ANY step-key type — the `index_type='obj'` analog (reference
+    variograms/vgsinput.py:83-97, SURVEY §1.4): the step key is used only
+    for equality (the common-step join), so an opaque string label works
+    exactly like a timestamp bucket.
+
+    Accumulation is fixed-point long sums (order-independent,
+    engine-exact; see q_pair_variogram_types for the overflow headroom
+    rationale). Input: one row per (step, series, value); output one row
+    per unordered series pair: (series_a, series_b, n_common, gamma_sg).
+    """
+    a, b = series.alias("a"), series.alias("b")
+    j = a.join(b, step_col).where(
+        F.col(f"a.{series_col}") < F.col(f"b.{series_col}")
+    )
+    q = lambda c: (  # noqa: E731
+        F.sum(F.floor(c * scale + F.lit(0.5))).cast("double") / F.lit(scale)
+    )
+    va, vb = F.col(f"a.{value_col}"), F.col(f"b.{value_col}")
+    agg = j.groupBy(
+        F.col(f"a.{series_col}").alias("series_a"),
+        F.col(f"b.{series_col}").alias("series_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_common"),
+        q(va).alias("_sa"),
+        q(vb).alias("_sb"),
+        q(va * va).alias("_sa2"),
+        q(vb * vb).alias("_sb2"),
+        q(va * vb).alias("_sab"),
+    )
+    n = F.col("n_common")
+    var_a = F.col("_sa2") / n - (F.col("_sa") / n) * (F.col("_sa") / n)
+    var_b = F.col("_sb2") / n - (F.col("_sb") / n) * (F.col("_sb") / n)
+    cov = F.col("_sab") / n - (F.col("_sa") / n) * (F.col("_sb") / n)
+    return agg.select(
+        "series_a", "series_b", "n_common",
+        F.round(var_a + var_b - 2 * cov, round_to).alias("gamma_sg"),
+    )
+
+
 def smooth_and_monotone(evg: DataFrame, smooth_window: int = 3) -> DataFrame:
     """A10 rolling-mean smoothing + A11 running-max monotone envelope,
     ordered by lag within cluster (vgclus/evg_clus.py:180-212)."""

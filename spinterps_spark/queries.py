@@ -433,30 +433,18 @@ def q_pair_variogram_types(spark, sf_dir) -> DataFrame:
             / F.lit(100.0) / F.count(F.lit(1))
         ).alias("v")
     )
-    a = hourly.alias("a")
-    b = hourly.alias("b")
-    j = a.join(b, "bucket_ts").where(F.col("a.event_type") < F.col("b.event_type"))
-    # fixed-point long sums (order-independent, engine-exact): v <= ~600
-    # here so v*1e6 <= 6e8 and v*v*1e6 <= 3.2e11 per row -> int64 safe past
-    # 2.9e7 common hours (3,300 years of hourly buckets)
-    q = lambda c: F.sum(F.floor(c * 1e6 + F.lit(0.5))).cast("double") / F.lit(1e6)
-    agg = j.groupBy(
-        F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
-    ).agg(
-        F.count(F.lit(1)).alias("n_common"),
-        q(F.col("a.v")).alias("_sa"),
-        q(F.col("b.v")).alias("_sb"),
-        q(F.col("a.v") * F.col("a.v")).alias("_sa2"),
-        q(F.col("b.v") * F.col("b.v")).alias("_sb2"),
-        q(F.col("a.v") * F.col("b.v")).alias("_sab"),
+    # fixed-point long sums inside the operator (order-independent,
+    # engine-exact): v <= ~600 here so v*1e6 <= 6e8 and v*v*1e6 <= 3.2e11
+    # per row -> int64 safe past 2.9e7 common hours (3,300 years hourly)
+    from spinterps_spark.operators.variogram import pairwise_series_gamma
+
+    out = pairwise_series_gamma(
+        hourly, step_col="bucket_ts", series_col="event_type", value_col="v"
     )
-    n = F.col("n_common")
-    var_a = F.col("_sa2") / n - (F.col("_sa") / n) * (F.col("_sa") / n)
-    var_b = F.col("_sb2") / n - (F.col("_sb") / n) * (F.col("_sb") / n)
-    cov = F.col("_sab") / n - (F.col("_sa") / n) * (F.col("_sb") / n)
-    return agg.select(
-        "type_a", "type_b", "n_common",
-        F.round(var_a + var_b - 2 * cov, 4).alias("gamma_sg"),
+    return out.select(
+        F.col("series_a").alias("type_a"),
+        F.col("series_b").alias("type_b"),
+        "n_common", "gamma_sg",
     )
 
 
@@ -475,6 +463,63 @@ agg AS (
          CAST(sum(CAST(floor(b.v * b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sb2,
          CAST(sum(CAST(floor(a.v * b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sab
   FROM hourly a JOIN hourly b USING (bucket_ts)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_common,
+       round((sa2 / n_common - (sa / n_common) * (sa / n_common))
+           + (sb2 / n_common - (sb / n_common) * (sb / n_common))
+           - 2 * (sab / n_common - (sa / n_common) * (sb / n_common)), 4) AS gamma_sg
+FROM agg
+"""
+
+
+def q_pair_variogram_obj(spark, sf_dir) -> DataFrame:
+    """`index_type='obj'` analog (reference variograms/vgsinput.py:83-97,
+    SURVEY §1.4 'string bucket key'): the SAME pairwise-series variogram
+    operator over a series keyed by an OPAQUE STRING step label — here
+    'u<cohort>_<date>' combining a user cohort and a calendar day. The
+    step key is only ever compared for equality; no timestamp arithmetic
+    touches it, which is exactly the reference's obj-index contract."""
+    from spinterps_spark.operators.variogram import pairwise_series_gamma
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    step = F.concat(
+        F.lit("u"), (F.col("user_id") % 20).cast("string"),
+        F.lit("_"), F.date_format("ts", "yyyy-MM-dd"),
+    )
+    series = ev.groupBy(step.alias("step"), "event_type").agg(
+        (
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))).cast("double")
+            / F.lit(100.0) / F.count(F.lit(1))
+        ).alias("v")
+    )
+    out = pairwise_series_gamma(
+        series, step_col="step", series_col="event_type", value_col="v"
+    )
+    return out.select(
+        F.col("series_a").alias("type_a"),
+        F.col("series_b").alias("type_b"),
+        "n_common", "gamma_sg",
+    )
+
+
+SQL_PAIR_VARIOGRAM_OBJ = """
+WITH s AS (
+  SELECT 'u' || CAST(user_id % 20 AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS step,
+         event_type,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_common,
+         CAST(sum(CAST(floor(a.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa,
+         CAST(sum(CAST(floor(b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sb,
+         CAST(sum(CAST(floor(a.v * a.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa2,
+         CAST(sum(CAST(floor(b.v * b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sb2,
+         CAST(sum(CAST(floor(a.v * b.v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sab
+  FROM s a JOIN s b USING (step)
   WHERE a.event_type < b.event_type
   GROUP BY 1, 2
 )
@@ -2131,6 +2176,7 @@ QUERIES = {
     "fleet_stats_1h": (q_fleet_stats_1h, lambda: SQL_FLEET_STATS.format(tp=_tp())),
     "idw_fill_all": (q_idw_fill_all, lambda: SQL_IDW_FILL.format(tp=_tp())),
     "pair_variogram_types": (q_pair_variogram_types, lambda: SQL_PAIR_VARIOGRAM),
+    "pair_variogram_obj": (q_pair_variogram_obj, lambda: SQL_PAIR_VARIOGRAM_OBJ),
     "evg_binned": (q_evg_binned, lambda: SQL_EVG_BINNED.format(cp=_cp())),
     "monotonic_envelope": (q_monotonic_envelope, lambda: SQL_MONOTONIC_ENV.format(cp=_cp())),
     "topk_neighbors": (q_topk_neighbors, lambda: SQL_TOPK_NEIGHBORS.format(cp=_cp())),

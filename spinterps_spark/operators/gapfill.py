@@ -460,6 +460,10 @@ def gapfill(
     kriging = method in ("OK", "SK", "EDK", "IK")
     if per_row_vg and not kriging:
         raise ValueError("vg_col only applies to kriging methods")
+    if per_row_vg and (coords is not None or vg_dim is not None):
+        # enforce the documented mutual exclusion: silently ignoring
+        # coords/vg_dim here would mask a caller bug (ADVICE r3)
+        raise ValueError("vg_col is mutually exclusive with coords/vg_dim")
     df = spined.select(
         "conv_id",
         "bucket_ts",

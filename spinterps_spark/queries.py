@@ -1933,9 +1933,16 @@ WITH m AS (
 ),
 p AS (
   -- text header ends at the first 0x0A byte; frames are 'FRAME\\n' (6
-  -- bytes) + width*height luma bytes
+  -- bytes) + width*height luma bytes. The newline is located in BYTE
+  -- space over a bounded prefix (Y4M headers are well under 128 bytes),
+  -- like _sql_multimodal_features — a substring search over hex text
+  -- would lean on the implicit no-0xA0-after-0x?0 nibble alignment of
+  -- ASCII headers (ADVICE r3)
   SELECT media_id, width * height AS fsz,
-         position('0A' IN h) // 2 + 1 AS hdr_len, n_bytes, h
+         list_position([('0x' || substr(h, 2 * i - 1, 2))::INT
+                        for i in generate_series(1, least(n_bytes, 128))],
+                       10) AS hdr_len,
+         n_bytes, h
   FROM m
 ),
 f AS (

@@ -154,13 +154,18 @@ def stream_dedup_turns(
     dropDuplicates over an unbounded stream would.
 
     Emits one row per first-seen turn with its content hash. The dedup key
-    is (conv_id, turn_idx, xxhash64(text)) — hashing BEFORE the stateful
-    op, like the batch twin keys on md5(text) — so each state-store entry
-    is fixed-width regardless of turn length; at 100 TB the state store
-    holds only the watermark window's fixed-size keys per partition, and
-    the same-key lookup is a state-store point read — no shuffle beyond
-    the hash partitioning Structured Streaming already does for stateful
-    ops.
+    is (conv_id, turn_idx, xxhash64(text), length(text)) — hashing BEFORE
+    the stateful op, like the batch twin keys on md5(text) — so each
+    state-store entry is fixed-width regardless of turn length; at 100 TB
+    the state store holds only the watermark window's fixed-size keys per
+    partition, and the same-key lookup is a state-store point read — no
+    shuffle beyond the hash partitioning Structured Streaming already
+    does for stateful ops. length(text) rides in the key because a bare
+    64-bit hash can collide between two DIFFERENT texts at the same
+    (conv_id, turn_idx) inside the watermark window, silently dropping a
+    genuinely new turn (ADVICE r3) — hash+length keeps the entry
+    fixed-width while pushing the collision odds to hash AND length both
+    matching.
     """
     src = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -171,7 +176,10 @@ def stream_dedup_turns(
         src.select(
             "conv_id", "turn_idx", "ts",
             F.xxhash64("text").alias("text_hash"),
+            F.length("text").alias("text_len"),
         )
         .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text_hash"])
+        .dropDuplicatesWithinWatermark(
+            ["conv_id", "turn_idx", "text_hash", "text_len"]
+        )
     )

@@ -135,6 +135,31 @@ def main():
     sections.append(("Winnowing fingerprints (r3: array pipeline, outer explode)", p12,
                      ["Generate", "Scan parquet nodes: 1", "expression sites: 1"]))
 
+    # r4: winnow candidate pairs — the pair join is bucketed by fp_hash
+    # (SortMergeJoin/ShuffledHashJoin on the fingerprint, never a cross
+    # product), then verified by a pair-scoped shingle join.
+    p13 = plan_of(D.winnow_candidates(docs))
+    has_cross = "CartesianProduct" in p13 or "BroadcastNestedLoopJoin" in p13
+    p13 = (f"(cross-product nodes present: {has_cross} — must be False; "
+           f"every join is keyed on fp_hash / doc ids / shingles)\n") + p13
+    sections.append(("Winnow candidates (r4: fp_hash-bucketed pair join + scoped Jaccard verify)", p13,
+                     ["HashAggregate", "present: False"]))
+
+    # r4: one star round of connected components — the edge rewrite is
+    # join+aggregate only (hash-to-min joins), no windows, no cross joins;
+    # driver loop adds localCheckpoint truncation per round.
+    edges = spark.range(64).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    e0 = edges.selectExpr("doc_a AS u", "doc_b AS v")
+    sym = e0.union(e0.selectExpr("v AS u", "u AS v"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("m"))
+    p14 = plan_of(
+        sym.join(mins, "u").where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v")).distinct()
+    )
+    sections.append(("Star connected components, one large-star rewrite (r4: join+agg rounds, O(log n) total)", p14,
+                     ["HashAggregate", "Exchange"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

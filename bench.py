@@ -80,8 +80,12 @@ def main():
         if pipe_secs[-1] == min(pipe_secs):
             best_metrics = metrics  # tier breakdown must decompose the min
         shutil.rmtree(work_dir, ignore_errors=True)
+    import statistics
+
     pipeline_sec = min(pipe_secs)
-    median_sec = sorted(pipe_secs)[len(pipe_secs) // 2]
+    # true median (averages the middle pair for even run counts — the
+    # upper-middle element would report the MAX under PIPE_RUNS=2)
+    median_sec = statistics.median(pipe_secs)
     out["pipeline_all_tiers"] = round(pipeline_sec, 3)
     out["pipeline_median"] = round(median_sec, 3)
     out["pipeline_runs"] = [round(s, 3) for s in pipe_secs]

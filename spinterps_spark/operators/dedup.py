@@ -314,6 +314,10 @@ def winnow_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .where(F.col("n_shared_fps") >= min_shared)
+        # cand feeds BOTH the verify join's pair list and the final join:
+        # without materialization the whole fingerprint pipeline +
+        # fp_hash self-join executes twice (review r4)
+        .localCheckpoint()
     )
     ver = ngram_jaccard(
         docs, cand.select("doc_a", "doc_b"), shingle_n, text_col, id_col

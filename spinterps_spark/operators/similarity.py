@@ -200,10 +200,14 @@ def kmeans_spherical(
     """Seeded spherical k-means (the IVF-Flat coarse-quantizer trainer,
     FAISS practice): rows are unit-normalized, init is k-means++ on cosine
     distance, then `n_iters` Lloyd rounds of argmax-cosine assignment and
-    renormalized mean update. Pure numpy and fully deterministic given
-    (X, seed), so the trained centroids can be persisted once and shared
-    verbatim with the DuckDB oracle twin. Empty lists keep their previous
-    centroid. Returns (n_lists, dim) unit-norm float64 centroids."""
+    renormalized mean update. Pure numpy and deterministic given
+    (X, seed) AND the BLAS build (matmul/mean reduction order is
+    bit-stable per build, not across builds — which is exactly why the
+    trained centroids are PERSISTED once and read verbatim by both
+    engines rather than re-derived; the drift-alarm test's bit-equality
+    holds on the machine that wrote the model). Empty lists keep their
+    previous centroid. Returns (n_lists, dim) unit-norm float64
+    centroids."""
     X = np.asarray(X, dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
@@ -248,7 +252,9 @@ def train_ivf_centroids(
     n = vectors.count()
     v = vectors.select(F.col(id_col).alias("_id"), _as_double(F.col(emb_col)).alias("e"))
     if n > sample_max:
-        keep = int(1_000_000 * sample_max / n)
+        # max(1, ...): at n > 1e6*sample_max the truncated rate would be 0
+        # and filter out every row (review r4)
+        keep = max(1, int(1_000_000 * sample_max / n))
         v = v.where(
             F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(1_000_000)) < keep
         )

@@ -118,8 +118,8 @@ _CONTENT_POOL = (
 # ranges match functions/langid.SCRIPT_CLASSES)
 _SCRIPT_POOLS = {
     "zh": [(0x4E00, 0x9FFF)],                      # CJK ideographs only
-    "ja": [(0x3041, 0x3096), (0x30A1, 0x30FA),     # kana (60% weight via
-           (0x3041, 0x3096), (0x4E00, 0x9FFF)],    # pool repetition) + kanji
+    "ja": [(0x3041, 0x3096), (0x30A1, 0x30FA),     # kana (3 of 4 pool
+           (0x3041, 0x3096), (0x4E00, 0x9FFF)],    # entries ~ 75%) + kanji
     "ru": [(0x0410, 0x044F)],                      # Cyrillic letters
     "ar": [(0x0621, 0x064A)],                      # Arabic letters
 }
@@ -142,7 +142,7 @@ def lang_docs_path(
     Latin-script docs mix shared content tokens with ~35% stopwords drawn
     from ONE language's public table (functions/langid.py); zh/ja/ru/ar
     docs are seeded words over the matching Unicode script block (ja mixes
-    ~60% kana with kanji — the kana evidence that separates it from zh);
+    ~75% kana with kanji — the kana evidence that separates it from zh);
     plus stopword-free Latin 'unk' docs. The seeded fixture a real
     language-ID operator must separate at 100% accuracy."""
     path = os.path.join(FIXTURE_DIR, f"lang_docs_v2_{n_per_lang}_{seed}.parquet")

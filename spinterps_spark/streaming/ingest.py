@@ -165,7 +165,10 @@ def stream_dedup_turns(
     (conv_id, turn_idx) inside the watermark window, silently dropping a
     genuinely new turn (ADVICE r3) — hash+length keeps the entry
     fixed-width while pushing the collision odds to hash AND length both
-    matching.
+    matching. NOTE (upgrade): adding text_len changed the stateful
+    operator's dedup-key schema — a checkpoint written by the pre-r4
+    3-column key cannot be resumed (standard Structured Streaming rule:
+    stateful-op key changes require a fresh checkpoint directory).
     """
     src = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)

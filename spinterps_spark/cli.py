@@ -140,6 +140,79 @@ def cmd_snip(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """End-to-end document dedup: exact (hash-groupBy), or near-dup
+    (MinHash-LSH or winnowing candidates -> exact Jaccard verify ->
+    connected components -> keep-one). Writes (doc_id, keep_doc_id):
+    keep_doc_id = the component's minimum id (the kept representative)."""
+    from pyspark.sql import functions as F
+
+    from spinterps_spark.operators import dedup as D
+
+    spark = _spark("spinterps_spark.dedup")
+    docs = spark.read.parquet(args.input)
+    if args.mode == "exact":
+        out = D.exact_dedup(docs)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "groups": out.count(),
+                          "mode": "exact"}))
+        return 0
+    if args.mode == "lsh":
+        sig = D.minhash_signatures(docs, n_bands=args.bands)
+        pairs = D.lsh_candidate_pairs(sig, min_bands=args.min_bands)
+        ver = D.ngram_jaccard(docs, pairs.select("doc_a", "doc_b"))
+    else:  # winnow
+        ver = D.winnow_candidates(
+            docs, max_bucket=args.max_bucket or None
+        )
+    dup = ver.where(F.col("jaccard") >= args.jaccard).select("doc_a", "doc_b")
+    comp = D.connected_components(dup, algorithm=args.algorithm)
+    keep = comp.select(
+        "doc_id", F.col("component").alias("keep_doc_id")
+    )
+    # docs with no near-dup edge keep themselves
+    all_ids = docs.select(F.col("doc_id"))
+    out = all_ids.join(keep, "doc_id", "left").select(
+        "doc_id", F.coalesce("keep_doc_id", F.col("doc_id")).alias("keep_doc_id")
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = out.count()
+    n_keep = out.where(F.col("doc_id") == F.col("keep_doc_id")).count()
+    print(json.dumps({"out": args.out, "docs": n, "kept": n_keep,
+                      "mode": args.mode}))
+    return 0
+
+
+def cmd_ann(args) -> int:
+    """Cosine top-k over an embeddings parquet: exact brute force, SRP-LSH
+    buckets, or IVF inverted lists (optionally k-means-trained)."""
+    from pyspark.sql import functions as F
+
+    from spinterps_spark.operators import similarity as SIM
+
+    spark = _spark("spinterps_spark.ann")
+    vecs = spark.read.parquet(args.input)
+    q = spark.read.parquet(args.queries) if args.queries else (
+        vecs.where(F.col("vec_id") < args.n_q).withColumnRenamed("vec_id", "q_id")
+    )
+    if args.method == "brute":
+        out = SIM.cosine_topk_bruteforce(vecs, q, k=args.k)
+    elif args.method == "lsh":
+        out = SIM.cosine_topk_lsh(vecs, q, k=args.k, dim=args.dim)
+    else:  # ivf
+        cents = None
+        if args.train:
+            cents = SIM.train_ivf_centroids(vecs, n_lists=args.n_lists)
+        out = SIM.cosine_topk_ivf(
+            vecs, q, k=args.k, n_lists=args.n_lists, n_probe=args.n_probe,
+            centroids=cents,
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count(),
+                      "method": args.method, "trained": bool(args.train)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spinterps_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -202,6 +275,38 @@ def main(argv=None) -> int:
     sn.add_argument("--where", default=None, help="SQL predicate")
     sn.add_argument("--partition-by", default=None, help="comma-separated")
     sn.set_defaults(fn=cmd_snip)
+
+    d = sub.add_parser("dedup", help="document dedup: exact / LSH / winnow "
+                       "candidates -> Jaccard verify -> components -> keep-one")
+    d.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    d.add_argument("--out", required=True)
+    d.add_argument("--mode", default="lsh", choices=["exact", "lsh", "winnow"])
+    d.add_argument("--bands", type=int, default=8)
+    d.add_argument("--min-bands", dest="min_bands", type=int, default=2)
+    d.add_argument("--jaccard", type=float, default=0.8,
+                   help="verification threshold for a near-dup edge")
+    d.add_argument("--max-bucket", dest="max_bucket", type=int, default=0,
+                   help="winnow stop-fingerprint cap (0 = uncapped)")
+    d.add_argument("--algorithm", default="minlabel",
+                   choices=["minlabel", "star"],
+                   help="components rounds: diameter (minlabel) vs log (star)")
+    d.set_defaults(fn=cmd_dedup)
+
+    a = sub.add_parser("ann", help="cosine top-k: brute / lsh / ivf")
+    a.add_argument("--input", required=True, help="embeddings parquet (vec_id, embedding)")
+    a.add_argument("--queries", default=None, help="query parquet (q_id, embedding)")
+    a.add_argument("--n-q", dest="n_q", type=int, default=8,
+                   help="without --queries: use vec_id < n_q as queries")
+    a.add_argument("--out", required=True)
+    a.add_argument("--method", default="ivf", choices=["brute", "lsh", "ivf"])
+    a.add_argument("--k", type=int, default=10)
+    a.add_argument("--dim", type=int, default=64)
+    a.add_argument("--n-lists", dest="n_lists", type=int, default=16)
+    a.add_argument("--n-probe", dest="n_probe", type=int, default=4)
+    a.add_argument("--train", action="store_true",
+                   help="k-means-train the IVF quantizer (seeded Lloyd on a "
+                   "hash-sampled subset) instead of sampling init")
+    a.set_defaults(fn=cmd_ann)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -282,6 +282,7 @@ def winnow_candidates(
     w: int = 4,
     shingle_n: int = 3,
     min_shared: int = 1,
+    max_bucket: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -299,14 +300,25 @@ def winnow_candidates(
 
     Scale shape: the pair join is bucketed by fp_hash (never all-pairs),
     one groupBy dedups multi-fingerprint matches before the verify join
-    touches text. A stop-fingerprint cap (dropping hashes shared by huge
-    numbers of docs, like boilerplate) is the standard escape valve if a
-    corpus has mega-buckets — same remedy as LSH band caps.
+    touches text. `max_bucket` is the STOP-FINGERPRINT cap: hashes shared
+    by more than max_bucket docs (boilerplate runs — license headers,
+    templates) are dropped before the pair join, bounding any bucket's
+    pair fan-out at max_bucket^2/2 — the same remedy as LSH band caps,
+    and the reason the operator survives a corpus with mega-buckets.
+    None = no cap (the winnowing guarantee then holds unconditionally;
+    with a cap it holds for every run not drowned in boilerplate).
 
     Output: (doc_a, doc_b, n_shared_fps, n_inter, jaccard), doc_a < doc_b.
     """
     fps = winnow_fingerprints(docs, k, w, text_col, id_col)
     f = fps.select("doc_id", "fp_hash").distinct()
+    if max_bucket is not None:
+        bucket_n = f.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_bn"))
+        f = f.join(
+            bucket_n.where(F.col("_bn") <= max_bucket).select("fp_hash"),
+            "fp_hash",
+            "left_semi",
+        )
     cand = (
         f.select(F.col("doc_id").alias("doc_a"), "fp_hash")
         .join(f.select(F.col("doc_id").alias("doc_b"), "fp_hash"), "fp_hash")

@@ -678,3 +678,25 @@ def test_winnow_candidates_find_every_planted_overlap(spark):
     pl = out.set_index(["doc_a", "doc_b"]).loc[planted_pairs]
     assert (pl["n_inter"] > 0).all()
     assert (pl["n_shared_fps"] >= 1).all()
+
+
+def test_winnow_candidates_stop_fingerprint_cap(spark):
+    """max_bucket drops boilerplate fingerprints shared by > max_bucket
+    docs (bounding pair fan-out) while genuinely-rare overlaps survive."""
+    boiler = " ".join(f"lic{i}" for i in range(12))  # shared by ALL docs
+    rare = " ".join(f"rare{i}" for i in range(12))   # shared by docs 0,1
+    rng = np.random.RandomState(23)
+    rows = []
+    for did in range(12):
+        noise = " ".join(f"n{did}_{j}" for j in range(20))
+        text = f"{boiler} {noise} {rare}" if did < 2 else f"{boiler} {noise}"
+        rows.append((did, text))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = D.winnow_candidates(docs, k=4, w=4).toPandas()
+    capped = D.winnow_candidates(docs, k=4, w=4, max_bucket=4).toPandas()
+    # boilerplate links every pair when uncapped; the cap removes them
+    assert len(uncapped) == 12 * 11 // 2
+    got = set(map(tuple, capped[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in got                       # the rare overlap survives
+    assert len(got) < len(uncapped)            # boilerplate pairs gone
+    assert all(a < 2 and b < 2 for a, b in got), got

@@ -120,6 +120,71 @@ def stream_base_rollup(
     return agg
 
 
+def stream_tier_cascade(
+    spark,
+    input_dir: str,
+    watermark: str = "2 hours",
+    min_cnt: int = 1,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """CHAINED streaming windowed aggregation: transcripts -> 1m windows ->
+    1h windows in ONE streaming query (Spark 3.4+ multiple-stateful-
+    operator support: the second groupBy windows over window_time() of the
+    first, so both aggs are event-time stateful ops in the same plan).
+
+    Metric composition is rollup_tier's exactly: 1h sums compose the 1m
+    sums, validity = count of contributing 1m windows >= min_cnt, invalid
+    buckets keep the row with NULL metrics (the gap stays visible to the
+    gap-filler). A streaming cascade and the batch
+    rollup_tier(base_rollup(t, '1m'), '1h') over the same files agree
+    bit-for-bit (tested with trigger=availableNow).
+
+    100 TB shape: both aggregation states are watermark-bounded; the 1h
+    state holds partial sums per (conv, hour) only inside the watermark
+    horizon, so state size tracks active conversations, not history.
+    """
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    m1 = (
+        src.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_cnt"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias("tok_len_sum"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_call_cnt"),
+            F.sum((F.col("role") == "user").cast("long")).alias("role_user_cnt"),
+            F.sum((F.col("role") == "assistant").cast("long")).alias("role_assistant_cnt"),
+            F.sum((F.col("role") == "tool").cast("long")).alias("role_tool_cnt"),
+        )
+    )
+    metric_cols = [
+        "turn_cnt", "tok_len_sum", "tool_call_cnt",
+        "role_user_cnt", "role_assistant_cnt", "role_tool_cnt",
+    ]
+    h1 = (
+        m1.groupBy(
+            "conv_id", F.window(F.window_time("w"), "1 hour").alias("wh")
+        )
+        .agg(
+            *[F.sum(c).alias(c) for c in metric_cols],
+            F.count(F.lit(1)).alias("_n_lower"),
+        )
+        .withColumn("valid", F.col("_n_lower") >= F.lit(min_cnt))
+    )
+    return h1.select(
+        "conv_id",
+        F.col("wh.start").alias("bucket_ts"),
+        *[
+            F.when(F.col("valid"), F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in metric_cols
+        ],
+        "valid",
+    )
+
+
 def run_stream_to_parquet(
     spark, input_dir: str, out_dir: str, checkpoint_dir: str,
     available_now: bool = True, watermark: str = "2 hours",

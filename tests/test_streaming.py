@@ -16,6 +16,9 @@ def _turn_file(path, conv, hours, t0=1_700_000_000):
                                       "tool", "ts"])
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    # all-None object column would land as INT32 null in parquet and
+    # break schema'd streaming reads that project `tool`
+    pdf["tool"] = pdf["tool"].astype("string")
     pdf.to_parquet(path)
 
 
@@ -129,3 +132,44 @@ def test_stream_dedup_drops_replayed_turns(spark, tmp_path):
     assert len(got) == 4
     assert sorted(got["turn_idx"].tolist()) == [0, 1, 2, 9]
     assert got[got["turn_idx"] == 9]["text_hash"].notna().all()
+
+
+def test_stream_tier_cascade_equals_batch_rollup(spark, tmp_path):
+    """Chained 1m->1h streaming windowed aggregation (one query, two
+    stateful ops) equals the batch rollup cascade bit-for-bit under
+    availableNow — the streaming twin of rollup_tier composition."""
+    from spinterps_spark.streaming.ingest import stream_tier_cascade
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # two convs, turns spread over 3 hours incl. a multi-turn minute
+    _turn_file(os.path.join(in_dir, "a.parquet"), "c1", [0, 1, 1, 59, 60, 125])
+    _turn_file(os.path.join(in_dir, "b.parquet"), "c2", [5, 61, 62, 119, 180])
+    # watermark flush sentinel: append mode only emits FINALIZED windows,
+    # so a far-future turn advances the watermark past every real window
+    # (the sentinel's own window stays in state and is excluded below)
+    _turn_file(os.path.join(in_dir, "zz.parquet"), "zz", [100_000])
+
+    q = (
+        stream_tier_cascade(spark, in_dir)
+        .writeStream.format("memory").queryName("cascade_1h")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM cascade_1h WHERE conv_id != 'zz'").toPandas()
+        .sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+
+    t = spark.read.parquet(in_dir).where("conv_id != 'zz'")
+    want = (
+        R.rollup_tier(R.base_rollup(t, "1m"), "1h", min_cnt=1)
+        .toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == list(want["conv_id"])
+    assert list(got["bucket_ts"]) == list(want["bucket_ts"])
+    for c in ["turn_cnt", "tok_len_sum", "tool_call_cnt",
+              "role_user_cnt", "role_assistant_cnt", "role_tool_cnt"]:
+        assert list(got[c]) == list(want[c]), c
+    assert got["valid"].all() and want["valid"].all()

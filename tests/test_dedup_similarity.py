@@ -609,12 +609,18 @@ def test_star_components_path_graph_log_rounds(spark):
     assert (got["component"] == 0).all()
 
 
-def test_star_components_match_minlabel_and_union_find(spark):
-    """star and minlabel agree with each other and with union-find on a
-    seeded random multi-component graph."""
-    rng = np.random.default_rng(3)
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (3, 500, 800),    # many mid-size components
+    (7, 200, 120),    # sparse: mostly isolated pairs/singletons
+    (11, 80, 400),    # dense: one giant component expected
+])
+def test_star_components_match_minlabel_and_union_find(spark, seed, n_nodes, n_edges):
+    """star and minlabel agree with each other and with union-find on
+    seeded random graphs across density regimes (sparse pairs, mid-size
+    mixtures, one giant component)."""
+    rng = np.random.default_rng(seed)
     ed = np.unique(
-        np.sort(rng.integers(0, 500, size=(800, 2)), axis=1), axis=0
+        np.sort(rng.integers(0, n_nodes, size=(n_edges, 2)), axis=1), axis=0
     )
     ed = ed[ed[:, 0] != ed[:, 1]]
     pairs = spark.createDataFrame(

@@ -731,6 +731,42 @@ SELECT doc_id,
 FROM t
 """
 
+def q_pii_redact(spark, sf_dir) -> DataFrame:
+    """PII detection + redaction (training-data curation staple): per-doc
+    email/card/phone/IPv4 counts on the original text plus the cascaded
+    redacted text, over the seeded planted-PII fixture. Truth counts ride
+    in the output so the oracle row-hash locks DETECTION ACCURACY (the
+    pytest asserts n_* == true_* on every doc); patterns live in ONE rule
+    table (functions/redact.py) that generates both engines' expressions
+    — Java/RE2 intersection syntax, no \\d, \\b or lookarounds."""
+    from spinterps_spark.functions.redact import pii_count_cols, redact_col
+
+    d = _utc(spark).read.parquet(fixtures.pii_docs_path())
+    counts = pii_count_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in counts],
+        "true_email", "true_card", "true_phone", "true_ipv4",
+        F.md5(redact_col(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from spinterps_spark.functions.redact import sql_pii_exprs
+
+    counts, red = sql_pii_exprs("text")
+    count_cols = ",\n       ".join(
+        f"{expr} AS n_{name}" for name, expr in counts.items()
+    )
+    return f"""
+SELECT doc_id,
+       {count_cols},
+       true_email, true_card, true_phone, true_ipv4,
+       md5({red}) AS redacted_md5
+FROM read_parquet('{fixtures.pii_docs_path()}')
+"""
+
+
 def q_lang_id(spark, sf_dir) -> DataFrame:
     """Real language ID on the seeded 9-label fixture: 4 public stopword
     tables for Latin scripts PLUS Unicode script-block character evidence
@@ -2200,6 +2236,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, lambda: SQL_DEDUP_EXACT),
     "text_quality": (q_text_quality, lambda: _sql_text_quality()),
     "lang_id": (q_lang_id, lambda: _sql_lang_id()),
+    "pii_redact": (q_pii_redact, lambda: _sql_pii_redact()),
     "minhash_bands": (q_minhash_bands, lambda: SQL_MINHASH_BANDS),
     "lsh_candidates": (q_lsh_candidates, lambda: SQL_LSH_CANDIDATES),
     "dedup_components": (q_dedup_components, lambda: SQL_DEDUP_COMPONENTS),

@@ -188,6 +188,60 @@ def lang_docs_path(
     return path
 
 
+PII_DOCS_N = 120
+PII_DOCS_SEED = 31
+
+
+def pii_docs_path(n: int = PII_DOCS_N, seed: int = PII_DOCS_SEED) -> str:
+    """Deterministic PII fixture: docs mixing clean content tokens with
+    planted emails / card numbers / phone numbers / IPv4 addresses, plus
+    fully clean docs. Ground-truth per-kind counts ride along so the
+    oracle row-hash locks DETECTION ACCURACY (n_* == the planted counts),
+    not just determinism — the lang_docs pattern."""
+    path = os.path.join(FIXTURE_DIR, f"pii_docs_{n}_{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        mk = {
+            "email": lambda r: "user%d@mail%d.example.com" % (r.randint(999), r.randint(99)),
+            "card": lambda r: "%04d-%04d-%04d-%04d" % tuple(r.randint(0, 10_000, 4)),
+            "phone": lambda r: "+%d %03d %04d" % (r.randint(1, 99), r.randint(100, 999), r.randint(1000, 9999)),
+            "ipv4": lambda r: "%d.%d.%d.%d" % tuple(r.randint(1, 255, 4)),
+        }
+        rows = []
+        for doc_id in range(n):
+            toks = [
+                _CONTENT_POOL[rng.randint(len(_CONTENT_POOL))]
+                for _ in range(int(rng.randint(20, 50)))
+            ]
+            counts = dict.fromkeys(mk, 0)
+            if doc_id % 4 != 3:  # every 4th doc stays clean
+                for kind in mk:
+                    for _ in range(int(rng.randint(0, 3))):
+                        toks.insert(int(rng.randint(len(toks))), mk[kind](rng))
+                        counts[kind] += 1
+            rows.append(
+                (doc_id, " ".join(toks), counts["email"], counts["card"],
+                 counts["phone"], counts["ipv4"])
+            )
+        table = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "true_email": pa.array([r[2] for r in rows], pa.int64()),
+                "true_card": pa.array([r[3] for r in rows], pa.int64()),
+                "true_phone": pa.array([r[4] for r in rows], pa.int64()),
+                "true_ipv4": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def load_transcripts(spark, sf_dir: str):
     return spark.read.parquet(transcripts_path(sf_dir))
 

@@ -706,3 +706,26 @@ def test_winnow_candidates_stop_fingerprint_cap(spark):
     assert (0, 1) in got                       # the rare overlap survives
     assert len(got) < len(uncapped)            # boilerplate pairs gone
     assert all(a < 2 and b < 2 for a, b in got), got
+
+
+def test_pii_redact_detects_every_planted_item(spark):
+    """Detection accuracy on the planted-PII fixture: regex counts equal
+    the planted ground truth on EVERY doc (no false positives from clean
+    content, no cross-kind bleed), and redacted text contains no
+    residual PII match."""
+    from spinterps_spark import queries as Q
+    from spinterps_spark.functions.redact import PII_RULES, redact_col
+    from spinterps_spark.sources import fixtures as FX
+
+    out = Q.queries()["pii_redact"](spark, "/root/testdata/sf0.01").toPandas()
+    for kind in ("email", "card", "phone", "ipv4"):
+        bad = out[out[f"n_{kind}"] != out[f"true_{kind}"]]
+        assert bad.empty, (kind, bad.head())
+    assert (out["true_email"] + out["true_card"]
+            + out["true_phone"] + out["true_ipv4"]).sum() > 50
+
+    d = spark.read.parquet(FX.pii_docs_path())
+    red = d.select(redact_col(F.col("text")).alias("t"))
+    for _name, pat, _repl in PII_RULES:
+        residual = red.where(F.regexp_count("t", F.lit(pat)) > 0).count()
+        assert residual == 0, _name

@@ -731,6 +731,57 @@ SELECT doc_id,
 FROM t
 """
 
+CORPUS_MIN_TOKENS = 10
+CORPUS_MIN_QUALITY = 0.5
+
+
+def q_corpus_select(spark, sf_dir) -> DataFrame:
+    """End-to-end training-corpus selection: exact-dedup keep-one (doc is
+    its md5-group's minimum id) AND quality gate (length-scaled stopword
+    quality score >= threshold, the q_text_quality formula) — the
+    composition a curation pipeline actually ships, as ONE declarative
+    plan: a window-min over the content hash plus a filter, no joins."""
+    d = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        * (1 - sw / n_tok.cast("double")),
+        6,
+    )
+    w = W.partitionBy(F.md5("text"))
+    q = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+        F.min("doc_id").over(w).alias("_canon"),
+    )
+    return q.where(
+        (F.col("doc_id") == F.col("_canon"))
+        & (F.col("quality_score") >= CORPUS_MIN_QUALITY)
+        & (F.col("n_tokens") >= CORPUS_MIN_TOKENS)
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
+SQL_CORPUS_SELECT = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(least(1.0, len(toks) / 100.0) *
+               (1 - len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE)), 6)
+           AS quality_score,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+FROM q
+WHERE doc_id = canon AND quality_score >= {CORPUS_MIN_QUALITY}
+  AND n_tokens >= {CORPUS_MIN_TOKENS}
+"""
+
+
 def q_pii_redact(spark, sf_dir) -> DataFrame:
     """PII detection + redaction (training-data curation staple): per-doc
     email/card/phone/IPv4 counts on the original text plus the cascaded
@@ -2237,6 +2288,7 @@ QUERIES = {
     "text_quality": (q_text_quality, lambda: _sql_text_quality()),
     "lang_id": (q_lang_id, lambda: _sql_lang_id()),
     "pii_redact": (q_pii_redact, lambda: _sql_pii_redact()),
+    "corpus_select": (q_corpus_select, lambda: SQL_CORPUS_SELECT),
     "minhash_bands": (q_minhash_bands, lambda: SQL_MINHASH_BANDS),
     "lsh_candidates": (q_lsh_candidates, lambda: SQL_LSH_CANDIDATES),
     "dedup_components": (q_dedup_components, lambda: SQL_DEDUP_COMPONENTS),

@@ -213,6 +213,34 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Per-document text analysis in one pass: token counts, quality
+    score, language ID (8 languages + unk), PII counts and optionally the
+    redacted text — the curation-pipeline projection, all JVM-side."""
+    from pyspark.sql import functions as F
+
+    from spinterps_spark.functions.langid import lang_pred_col
+    from spinterps_spark.functions.redact import pii_count_cols, redact_col
+
+    spark = _spark("spinterps_spark.analyze")
+    d = spark.read.parquet(args.input)
+    toks = F.split("text", " ")
+    counts = pii_count_cols(F.col("text"))
+    cols = [
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        lang_pred_col(F.col("text"), toks).alias("lang"),
+        *[counts[k].alias(f"n_{k}") for k in counts],
+    ]
+    if args.redact:
+        cols.append(redact_col(F.col("text")).alias("text_redacted"))
+    out = d.select(*cols)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count(),
+                      "redacted": bool(args.redact)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spinterps_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -307,6 +335,14 @@ def main(argv=None) -> int:
                    help="k-means-train the IVF quantizer (seeded Lloyd on a "
                    "hash-sampled subset) instead of sampling init")
     a.set_defaults(fn=cmd_ann)
+
+    an = sub.add_parser("analyze", help="per-doc text analysis: tokens, "
+                        "quality, language ID, PII counts, optional redaction")
+    an.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    an.add_argument("--out", required=True)
+    an.add_argument("--redact", action="store_true",
+                    help="also emit text_redacted (PII rule cascade)")
+    an.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

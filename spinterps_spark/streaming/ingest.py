@@ -120,6 +120,84 @@ def stream_base_rollup(
     return agg
 
 
+ASOF_FILL_SCHEMA = (
+    "conv_id string, bucket_ts timestamp, v_filled double, dist_sec long"
+)
+
+
+def stream_asof_fill(
+    spark,
+    input_dir: str,
+    tier: str = "1h",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """INCREMENTAL nearest-neighbor as-of gap-fill — the streaming twin of
+    operators/spine.nearest_asof_fill (J7), closing the loop between the
+    streaming gap monitor and the interpolation core: input is a stream of
+    rollup rows (conv_id, bucket_ts, v); per-conversation state holds the
+    last observed (bucket, value); when the next observation arrives, the
+    interior gap buckets between them are emitted with the value of the
+    temporally NEARER endpoint, ties to the earlier row — bit-for-bit the
+    batch operator's semantics for every closed gap (a gap still open at
+    stream end has no right endpoint yet, exactly like a batch spine that
+    ends at the last observation).
+
+    State: 16 bytes per conversation (last bucket epoch + value),
+    independent of history length. Rows are processed in bucket order
+    within each micro-batch; cross-batch order is the watermark's job
+    (same contract as the gap monitor).
+    """
+    secs = TIER_SECONDS[tier]
+    src = (
+        spark.readStream.schema("conv_id string, bucket_ts timestamp, v double")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    rows = src.withWatermark("bucket_ts", watermark).select(
+        "conv_id", F.unix_timestamp("bucket_ts").alias("t"), "v"
+    )
+
+    def fill(key, pdfs, state):
+        conv = key[0]
+        last_t, last_v = state.get if state.exists else (None, None)
+        pts = sorted(
+            (int(t), float(v))
+            for pdf in pdfs
+            for t, v in zip(pdf["t"], pdf["v"])
+        )
+        out = []
+        for t, v in pts:
+            if last_t is not None and t - last_t > secs:
+                for g in range(last_t + secs, t, secs):
+                    d_prev = g - last_t
+                    d_next = t - g
+                    take_prev = d_prev <= d_next  # tie -> earlier row
+                    out.append(
+                        (conv, pd.Timestamp(g, unit="s"),
+                         last_v if take_prev else v,
+                         d_prev if take_prev else d_next)
+                    )
+            if last_t is None or t > last_t:
+                last_t, last_v = t, v
+        if last_t is not None:
+            state.update((int(last_t), float(last_v)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["conv_id", "bucket_ts", "v_filled", "dist_sec"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return rows.groupBy("conv_id").applyInPandasWithState(
+        fill,
+        outputStructType=ASOF_FILL_SCHEMA,
+        stateStructType="last_t long, last_v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_tier_cascade(
     spark,
     input_dir: str,

@@ -1,6 +1,7 @@
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from spinterps_spark import datagen
 from spinterps_spark.operators import rollup as R
@@ -173,3 +174,70 @@ def test_stream_tier_cascade_equals_batch_rollup(spark, tmp_path):
               "role_user_cnt", "role_assistant_cnt", "role_tool_cnt"]:
         assert list(got[c]) == list(want[c]), c
     assert got["valid"].all() and want["valid"].all()
+
+
+def test_stream_asof_fill_equals_batch_operator(spark, tmp_path):
+    """Incremental as-of gap-fill equals operators/spine.nearest_asof_fill
+    bit-for-bit on every closed gap, including a hole straddling two
+    micro-batches (state carries the left endpoint across batches)."""
+    from spinterps_spark.operators.spine import nearest_asof_fill
+    from spinterps_spark.streaming.ingest import stream_asof_fill
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)
+
+    def _rollup_file(path, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "bucket_ts", "v"])
+        pdf["bucket_ts"] = pd.to_datetime(
+            pdf["bucket_ts"], unit="s"
+        ).astype("datetime64[us]")
+        pdf.to_parquet(path)
+
+    # c1: hole 1..3 inside batch 1; hole 5..8 straddles the batch boundary
+    # (even-width hole 5..8 exercises the tie -> earlier rule at bucket 6)
+    _rollup_file(os.path.join(in_dir, "a.parquet"), [
+        ("c1", t0 + 0 * 3600, 10.0), ("c1", t0 + 4 * 3600, 20.0),
+        ("c1", t0 + 5 * 3600, 21.0),
+        ("c2", t0 + 0 * 3600, 5.0), ("c2", t0 + 2 * 3600, 7.0),
+    ])
+    import time as _time
+    _time.sleep(0.05)
+    _rollup_file(os.path.join(in_dir, "b.parquet"), [
+        ("c1", t0 + 9 * 3600, 30.0),
+    ])
+
+    q = (
+        stream_asof_fill(spark, in_dir, tier="1h")
+        .writeStream.format("memory").queryName("asof_fill")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM asof_fill").toPandas()
+        .sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+
+    # batch twin: spined frame (NULL gap rows) -> nearest_asof_fill
+    obs = spark.read.parquet(in_dir)
+    bounds = obs.groupBy("conv_id").agg(
+        F.min("bucket_ts").alias("_a"), F.max("bucket_ts").alias("_b")
+    )
+    spine = bounds.select(
+        "conv_id",
+        F.explode(F.sequence("_a", "_b", F.expr("INTERVAL 1 HOUR"))).alias("bucket_ts"),
+    )
+    spined = spine.join(obs, ["conv_id", "bucket_ts"], "left")
+    want = (
+        nearest_asof_fill(spined, "v")
+        .toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == list(want["conv_id"])
+    assert list(got["bucket_ts"]) == list(want["bucket_ts"])
+    assert list(got["v_filled"]) == list(want["v_filled"])
+    assert list(got["dist_sec"]) == list(want["dist_sec"])
+    # the tie bucket took the EARLIER endpoint's value
+    tie = got[(got["conv_id"] == "c1")
+              & (got["bucket_ts"] == pd.Timestamp(t0 + 7 * 3600, unit="s"))]
+    assert tie["v_filled"].iloc[0] == 21.0

@@ -731,6 +731,99 @@ SELECT doc_id,
 FROM t
 """
 
+def q_props_json_stats(spark, sf_dir) -> DataFrame:
+    """JSON column functions (engine §2.8 extension): extract the numeric
+    field from the events props JSON payload and aggregate exactly —
+    get_json_object vs DuckDB json_extract_string, integer-exact sums."""
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+SQL_PROPS_JSON = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+def q_csv_source_agg(spark, sf_dir) -> DataFrame:
+    """S1 CSV/table source: schema'd CSV read (header, typed columns,
+    text fields with spaces) feeding an exact aggregate — the oracle's
+    independent CSV parser must tokenize/type every row identically, so
+    the hash locks source-parsing parity, not just the aggregation."""
+    p = fixtures.csv_events_path(sf_dir)
+    d = (
+        _utc(spark).read
+        .schema("event_id long, ts_epoch long, user_id long, "
+                "event_type string, value double")
+        .option("header", True)
+        .csv(p)
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("id_min"),
+        F.max("event_id").alias("id_max"),
+        (
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))).cast("double")
+            / F.lit(100.0) / F.count(F.lit(1))
+        ).alias("v_mean"),
+    )
+
+
+def _sql_csv_source_agg() -> str:
+    p = fixtures.csv_events_path(_oracle_sf())
+    return f"""
+SELECT event_type, count(*) AS n,
+       min(event_id) AS id_min, max(event_id) AS id_max,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS v_mean
+FROM read_csv('{p}', header=true, columns={{
+  'event_id': 'BIGINT', 'ts_epoch': 'BIGINT', 'user_id': 'BIGINT',
+  'event_type': 'VARCHAR', 'value': 'DOUBLE'}})
+GROUP BY event_type
+"""
+
+
+def q_jsonl_source_rollup(spark, sf_dir) -> DataFrame:
+    """JSONL source (the arrival format of real transcript feeds): schema'd
+    newline-delimited JSON read — string escaping, null tool fields, typed
+    epoch — feeding the 1m rollup metric set keyed by epoch bucket."""
+    p = fixtures.jsonl_turns_path(sf_dir)
+    d = (
+        _utc(spark).read
+        .schema("conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts_epoch long")
+        .json(p)
+    )
+    bucket = (F.col("ts_epoch") / 60).cast("long") * 60
+    return d.groupBy("conv_id", bucket.alias("bucket_min")).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("tok_len_sum"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_call_cnt"),
+    )
+
+
+def _sql_jsonl_source_rollup() -> str:
+    p = fixtures.jsonl_turns_path(_oracle_sf())
+    return f"""
+SELECT conv_id, (ts_epoch // 60) * 60 AS bucket_min,
+       count(*) AS turn_cnt,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tok_len_sum,
+       CAST(sum(CAST(tool IS NOT NULL AS BIGINT)) AS BIGINT) AS tool_call_cnt
+FROM read_json('{p}', format='newline_delimited', columns={{
+  'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER', 'role': 'VARCHAR',
+  'text': 'VARCHAR', 'tool': 'VARCHAR', 'ts_epoch': 'BIGINT'}})
+GROUP BY 1, 2
+"""
+
+
 CORPUS_MIN_TOKENS = 10
 CORPUS_MIN_QUALITY = 0.5
 
@@ -2289,6 +2382,9 @@ QUERIES = {
     "lang_id": (q_lang_id, lambda: _sql_lang_id()),
     "pii_redact": (q_pii_redact, lambda: _sql_pii_redact()),
     "corpus_select": (q_corpus_select, lambda: SQL_CORPUS_SELECT),
+    "props_json_stats": (q_props_json_stats, lambda: SQL_PROPS_JSON),
+    "csv_source_agg": (q_csv_source_agg, lambda: _sql_csv_source_agg()),
+    "jsonl_source_rollup": (q_jsonl_source_rollup, lambda: _sql_jsonl_source_rollup()),
     "minhash_bands": (q_minhash_bands, lambda: SQL_MINHASH_BANDS),
     "lsh_candidates": (q_lsh_candidates, lambda: SQL_LSH_CANDIDATES),
     "dedup_components": (q_dedup_components, lambda: SQL_DEDUP_COMPONENTS),

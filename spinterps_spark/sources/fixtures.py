@@ -242,6 +242,72 @@ def pii_docs_path(n: int = PII_DOCS_N, seed: int = PII_DOCS_SEED) -> str:
     return path
 
 
+CSV_EVENTS_N = 4_000
+JSONL_TURNS_N = 3_000
+
+
+def csv_events_path(sf_dir: str, n: int = CSV_EVENTS_N) -> str:
+    """Deterministic CSV source fixture (S1 analog): the first n events
+    rows re-written as comma-separated text with an epoch-seconds ts
+    column (epoch dodges engine-specific timestamp FORMAT parsing — the
+    parity under test is CSV tokenization/quoting/typing, not strptime).
+    Text fields carry spaces; values keep their 2 decimals."""
+    name = _sf_name(sf_dir)
+    path = os.path.join(FIXTURE_DIR, f"csv_events_{name}_{n}.csv")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        import pandas as pd
+
+        pdf = (
+            pd.read_parquet(f"{sf_dir}/events.parquet")
+            .sort_values("event_id").head(n)
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "ts_epoch": pdf["ts"].astype("datetime64[us]").astype("int64") // 1_000_000,
+                "user_id": pdf["user_id"],
+                "event_type": pdf["event_type"],
+                "value": pdf["value"],
+            }
+        )
+        tmp = path + ".tmp"
+        out.to_csv(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def jsonl_turns_path(sf_dir: str, n: int = JSONL_TURNS_N) -> str:
+    """Deterministic JSONL source fixture: the first n transcript turns as
+    newline-delimited JSON with epoch-seconds ts — the arrival format of
+    real LLM-transcript feeds. Text fields carry spaces."""
+    name = _sf_name(sf_dir)
+    path = os.path.join(FIXTURE_DIR, f"jsonl_turns_{name}_{n}.jsonl")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        import json as _json
+
+        import pandas as pd
+
+        pdf = (
+            pd.read_parquet(transcripts_path(sf_dir))
+            .sort_values(["conv_id", "turn_idx"]).head(n)
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in pdf.itertuples(index=False):
+                f.write(_json.dumps({
+                    "conv_id": r.conv_id,
+                    "turn_idx": int(r.turn_idx),
+                    "role": r.role,
+                    "text": r.text,
+                    "tool": r.tool,
+                    "ts_epoch": int(pd.Timestamp(r.ts).value // 10**9),
+                }) + "\n")
+        os.replace(tmp, path)
+    return path
+
+
 def load_transcripts(spark, sf_dir: str):
     return spark.read.parquet(transcripts_path(sf_dir))
 

@@ -141,10 +141,11 @@ def cmd_snip(args) -> int:
 
 
 def cmd_dedup(args) -> int:
-    """End-to-end document dedup: exact (hash-groupBy), or near-dup
-    (MinHash-LSH or winnowing candidates -> exact Jaccard verify ->
-    connected components -> keep-one). Writes (doc_id, keep_doc_id):
-    keep_doc_id = the component's minimum id (the kept representative)."""
+    """End-to-end document dedup. Near-dup modes (lsh / winnow: candidates
+    -> exact Jaccard verify -> connected components -> keep-one) write one
+    row PER DOCUMENT: (doc_id, keep_doc_id), keep_doc_id = the component's
+    minimum id. --mode exact writes one row PER CONTENT GROUP instead:
+    (text_hash, n_docs, keep_id) — the two shapes are not interchangeable."""
     from pyspark.sql import functions as F
 
     from spinterps_spark.operators import dedup as D
@@ -152,9 +153,10 @@ def cmd_dedup(args) -> int:
     spark = _spark("spinterps_spark.dedup")
     docs = spark.read.parquet(args.input)
     if args.mode == "exact":
-        out = D.exact_dedup(docs)
-        out.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"out": args.out, "groups": out.count(),
+        D.exact_dedup(docs).write.mode("overwrite").parquet(args.out)
+        # count the WRITTEN parquet — out.count() would re-run the job
+        n_groups = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "groups": n_groups,
                           "mode": "exact"}))
         return 0
     if args.mode == "lsh":
@@ -176,8 +178,11 @@ def cmd_dedup(args) -> int:
         "doc_id", F.coalesce("keep_doc_id", F.col("doc_id")).alias("keep_doc_id")
     )
     out.write.mode("overwrite").parquet(args.out)
-    n = out.count()
-    n_keep = out.where(F.col("doc_id") == F.col("keep_doc_id")).count()
+    # stats from the WRITTEN parquet (metadata-cheap) — re-counting `out`
+    # would re-execute the whole candidate/verify/components pipeline
+    written = spark.read.parquet(args.out)
+    n = written.count()
+    n_keep = written.where(F.col("doc_id") == F.col("keep_doc_id")).count()
     print(json.dumps({"out": args.out, "docs": n, "kept": n_keep,
                       "mode": args.mode}))
     return 0
@@ -208,7 +213,9 @@ def cmd_ann(args) -> int:
             centroids=cents,
         )
     out.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"out": args.out, "rows": out.count(),
+    n_rows = spark.read.parquet(args.out).count()  # not out.count(): that
+    # would re-run the full similarity search a second time
+    print(json.dumps({"out": args.out, "rows": n_rows,
                       "method": args.method, "trained": bool(args.train)}))
     return 0
 
@@ -222,21 +229,31 @@ def cmd_analyze(args) -> int:
     from spinterps_spark.functions.langid import lang_pred_col
     from spinterps_spark.functions.redact import pii_count_cols, redact_col
 
+    from spinterps_spark.queries import STOPWORDS
+
     spark = _spark("spinterps_spark.analyze")
     d = spark.read.parquet(args.input)
     toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        * (1 - sw / n_tok.cast("double")),
+        6,
+    )
     counts = pii_count_cols(F.col("text"))
     cols = [
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
         lang_pred_col(F.col("text"), toks).alias("lang"),
         *[counts[k].alias(f"n_{k}") for k in counts],
     ]
     if args.redact:
         cols.append(redact_col(F.col("text")).alias("text_redacted"))
-    out = d.select(*cols)
-    out.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"out": args.out, "rows": out.count(),
+    d.select(*cols).write.mode("overwrite").parquet(args.out)
+    n_rows = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "rows": n_rows,
                       "redacted": bool(args.redact)}))
     return 0
 

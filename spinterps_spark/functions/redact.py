@@ -20,7 +20,10 @@ from pyspark.sql import Column, functions as F
 # order matters: earlier rules run first on the running redacted text
 # (email before phone so a phone-like digit run inside an email local
 # part is already masked; card before phone so 13+ digit runs don't get
-# half-eaten by the shorter phone rule)
+# half-eaten by the shorter phone rule; ipv4 BEFORE phone — review r4:
+# phone's greedy trailing [ -]?[0-9]{0,4} would otherwise eat the first
+# octet of an adjacent IP, leaving '<PHONE>.2.3.4' with three octets
+# leaked and no 4-octet match left for the ipv4 rule)
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email",
      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
@@ -28,12 +31,14 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("card",
      "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}",
      "<CARD>"),
-    ("phone",
-     "[+][0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -]?[0-9]{0,4}",
-     "<PHONE>"),
     ("ipv4",
      "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
      "<IP>"),
+    ("phone",
+     # the optional 4th group is atomic ([ -][0-9]{1,4})? — a bare [ -]?
+     # would swallow a trailing separator space even with zero digits
+     "[+][0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}([ -][0-9]{1,4})?",
+     "<PHONE>"),
 )
 
 

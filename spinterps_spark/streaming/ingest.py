@@ -144,9 +144,14 @@ def stream_asof_fill(
     ends at the last observation).
 
     State: 16 bytes per conversation (last bucket epoch + value),
-    independent of history length. Rows are processed in bucket order
-    within each micro-batch; cross-batch order is the watermark's job
-    (same contract as the gap monitor).
+    independent of history length. Rows are sorted per micro-batch;
+    ACROSS micro-batches the input must arrive in bucket order per
+    conversation (the tier writer's commit order provides this; a
+    watermark bounds lateness but does NOT order rows — review r4). A
+    violating row — older than buckets already used as fill endpoints —
+    RAISES rather than silently emitting fills that diverge from the
+    batch operator; a duplicate redelivery of the current last bucket is
+    skipped idempotently.
     """
     secs = TIER_SECONDS[tier]
     src = (
@@ -168,6 +173,14 @@ def stream_asof_fill(
         )
         out = []
         for t, v in pts:
+            if last_t is not None and t == last_t:
+                continue  # idempotent redelivery of the current endpoint
+            if last_t is not None and t < last_t:
+                raise ValueError(
+                    f"stream_asof_fill: out-of-order bucket for {conv!r} "
+                    f"(got {t}, already filled up to {last_t}) — emitted "
+                    "fills would diverge from the batch operator"
+                )
             if last_t is not None and t - last_t > secs:
                 for g in range(last_t + secs, t, secs):
                     d_prev = g - last_t
@@ -178,8 +191,7 @@ def stream_asof_fill(
                          last_v if take_prev else v,
                          d_prev if take_prev else d_next)
                     )
-            if last_t is None or t > last_t:
-                last_t, last_v = t, v
+            last_t, last_v = t, v
         if last_t is not None:
             state.update((int(last_t), float(last_v)))
         if out:

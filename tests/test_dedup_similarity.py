@@ -691,7 +691,6 @@ def test_winnow_candidates_stop_fingerprint_cap(spark):
     docs (bounding pair fan-out) while genuinely-rare overlaps survive."""
     boiler = " ".join(f"lic{i}" for i in range(12))  # shared by ALL docs
     rare = " ".join(f"rare{i}" for i in range(12))   # shared by docs 0,1
-    rng = np.random.RandomState(23)
     rows = []
     for did in range(12):
         noise = " ".join(f"n{did}_{j}" for j in range(20))
@@ -729,3 +728,16 @@ def test_pii_redact_detects_every_planted_item(spark):
     for _name, pat, _repl in PII_RULES:
         residual = red.where(F.regexp_count("t", F.lit(pat)) > 0).count()
         assert residual == 0, _name
+
+
+def test_pii_redact_adjacent_phone_and_ip(spark):
+    """Review r4 regression test: a phone immediately followed by an IPv4
+    must redact to '<PHONE> <IP>' — the r4.0 rule order let the phone's
+    greedy trailing digits eat the first octet ('<PHONE>.2.3.4')."""
+    from spinterps_spark.functions.redact import redact_col
+
+    d = spark.createDataFrame(
+        [(1, "call +7 123 4567 1.2.3.4 now")], "doc_id long, text string"
+    )
+    got = d.select(redact_col(F.col("text")).alias("t")).collect()[0]["t"]
+    assert got == "call <PHONE> <IP> now", got

@@ -241,3 +241,44 @@ def test_stream_asof_fill_equals_batch_operator(spark, tmp_path):
     tie = got[(got["conv_id"] == "c1")
               & (got["bucket_ts"] == pd.Timestamp(t0 + 7 * 3600, unit="s"))]
     assert tie["v_filled"].iloc[0] == 21.0
+
+
+def test_stream_asof_fill_raises_on_out_of_order(spark, tmp_path):
+    """A bucket older than already-used fill endpoints fails LOUDLY (the
+    emitted fills could not be reconciled with the batch operator) instead
+    of silently diverging; duplicates of the current endpoint are skipped."""
+    import pytest as _pytest
+
+    from spinterps_spark.streaming.ingest import stream_asof_fill
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)
+
+    def _rollup_file(path, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "bucket_ts", "v"])
+        pdf["bucket_ts"] = pd.to_datetime(
+            pdf["bucket_ts"], unit="s"
+        ).astype("datetime64[us]")
+        pdf.to_parquet(path)
+
+    _rollup_file(os.path.join(in_dir, "a.parquet"), [
+        ("c1", t0 + 0 * 3600, 10.0), ("c1", t0 + 4 * 3600, 20.0),
+    ])
+    import time as _time
+    _time.sleep(0.05)
+    # batch 2 delivers bucket 2h — INSIDE the already-filled 0h..4h span
+    _rollup_file(os.path.join(in_dir, "b.parquet"), [
+        ("c1", t0 + 2 * 3600, 15.0),
+    ])
+
+    q = (
+        stream_asof_fill(spark, in_dir, tier="1h")
+        .writeStream.format("memory").queryName("asof_ooo")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with _pytest.raises(StreamingQueryException, match="out-of-order"):
+        q.awaitTermination(120)
+        q.processAllAvailable()

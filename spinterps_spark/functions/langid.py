@@ -5,14 +5,14 @@ Two evidence families, one argmax (VERDICT r3 next-step #6 extends the r2
 
 - Latin-script languages (en/fr/de/es): per-language stopword tables
   (public common-word lists) give one token-hit ratio per language.
-- Non-Latin languages (zh/ja/ru/ar): Unicode script-block character ratios
+- Non-Latin languages (zh/ja/ru/ar/ko): Unicode script-block character ratios
   over the non-space text — pure `regexp_count` / codepoint-class
   arithmetic. Japanese is separated from Chinese by kana (unique to ja):
   the zh score is the CJK-ideograph ratio *suppressed* by twice the kana
   ratio, so any kana-bearing text scores ja, while pure-ideograph text
   scores zh.
 
-The prediction is the argmax over all 8 scores with a fixed priority
+The prediction is the argmax over all 9 scores with a fixed priority
 tie-break, or 'unk' when no language clears MIN_RATIO. The SAME tables
 drive both the Spark expression and the generated DuckDB SQL twin
 (sql_lang_expr), so the oracle can never drift from the engine — the
@@ -50,16 +50,17 @@ SCRIPT_CLASSES: dict[str, tuple[str, str]] = {
     "kana": ("[\\u3040-\\u30ff]", "[\\x{3040}-\\x{30FF}]"),  # hiragana+katakana
     "cyr": ("[\\u0400-\\u04ff]", "[\\x{0400}-\\x{04FF}]"),   # Cyrillic
     "arab": ("[\\u0600-\\u06ff]", "[\\x{0600}-\\x{06FF}]"),  # Arabic
+    "hang": ("[\\uac00-\\ud7a3]", "[\\x{AC00}-\\x{D7A3}]"),  # Hangul syllables
 }
 
-SCRIPT_LANGS = ("zh", "ja", "ru", "ar")
+SCRIPT_LANGS = ("zh", "ja", "ru", "ar", "ko")
 LANG_ORDER = tuple(STOPWORDS_BY_LANG) + SCRIPT_LANGS  # argmax tie-break
 MIN_RATIO = 0.04
 
 
 def lang_score_cols(text: Column, toks: Column) -> dict[str, Column]:
     """Per-language score columns: stopword-hit ratio for Latin-script
-    languages, script-block character ratio for zh/ja/ru/ar."""
+    languages, script-block character ratio for zh/ja/ru/ar/ko."""
     n = F.size(toks).cast("double")
     out = {}
     for lang, words in STOPWORDS_BY_LANG.items():
@@ -76,6 +77,7 @@ def lang_score_cols(text: Column, toks: Column) -> dict[str, Column]:
     out["ja"] = script["kana"]
     out["ru"] = script["cyr"]
     out["ar"] = script["arab"]
+    out["ko"] = script["hang"]
     return out
 
 
@@ -121,6 +123,7 @@ def sql_lang_expr(
     score["ja"] = sc["kana"]
     score["ru"] = sc["cyr"]
     score["ar"] = sc["arab"]
+    score["ko"] = sc["hang"]
     best = "greatest(" + ", ".join(score[lang] for lang in LANG_ORDER) + ")"
     whens = "\n         ".join(
         f"WHEN {score[lang]} = {best} AND {best} >= {min_ratio} THEN '{lang}'"

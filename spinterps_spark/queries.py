@@ -912,9 +912,9 @@ FROM read_parquet('{fixtures.pii_docs_path()}')
 
 
 def q_lang_id(spark, sf_dir) -> DataFrame:
-    """Real language ID on the seeded 9-label fixture: 4 public stopword
+    """Real language ID on the seeded 10-label fixture: 4 public stopword
     tables for Latin scripts PLUS Unicode script-block character evidence
-    for zh/ja/ru/ar (functions/langid.py; VERDICT r3 next-step #6), one
+    for zh/ja/ru/ar/ko (functions/langid.py; VERDICT r3 next-step #6), one
     argmax, 'unk' below threshold. Emits the truth label so the oracle
     row-hash also locks the ACCURACY, not just determinism — pytest
     asserts lang_pred == lang_true on every seeded doc."""

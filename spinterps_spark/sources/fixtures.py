@@ -122,6 +122,7 @@ _SCRIPT_POOLS = {
            (0x3041, 0x3096), (0x4E00, 0x9FFF)],    # entries ~ 75%) + kanji
     "ru": [(0x0410, 0x044F)],                      # Cyrillic letters
     "ar": [(0x0621, 0x064A)],                      # Arabic letters
+    "ko": [(0xAC00, 0xD7A3)],                      # Hangul syllables
 }
 
 
@@ -138,14 +139,14 @@ def _script_word(rng, lang: str) -> str:
 def lang_docs_path(
     n_per_lang: int = LANG_DOCS_N_PER_LANG, seed: int = LANG_DOCS_SEED
 ) -> str:
-    """Deterministic multi-language document fixture (v2, 9 truth labels):
+    """Deterministic multi-language document fixture (v3, 10 truth labels):
     Latin-script docs mix shared content tokens with ~35% stopwords drawn
-    from ONE language's public table (functions/langid.py); zh/ja/ru/ar
+    from ONE language's public table (functions/langid.py); zh/ja/ru/ar/ko
     docs are seeded words over the matching Unicode script block (ja mixes
     ~75% kana with kanji — the kana evidence that separates it from zh);
     plus stopword-free Latin 'unk' docs. The seeded fixture a real
     language-ID operator must separate at 100% accuracy."""
-    path = os.path.join(FIXTURE_DIR, f"lang_docs_v2_{n_per_lang}_{seed}.parquet")
+    path = os.path.join(FIXTURE_DIR, f"lang_docs_v3_{n_per_lang}_{seed}.parquet")
     if not os.path.exists(path):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         import numpy as np

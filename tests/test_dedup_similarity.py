@@ -283,7 +283,7 @@ def test_lang_id_separates_seeded_languages(spark):
 
     out = Q.queries()["lang_id"](spark, "/root/testdata/sf0.01").toPandas()
     assert set(out["lang_true"]) == {
-        "en", "fr", "de", "es", "zh", "ja", "ru", "ar", "unk"
+        "en", "fr", "de", "es", "zh", "ja", "ru", "ar", "ko", "unk"
     }
     acc = (out["lang_pred"] == out["lang_true"]).mean()
     assert acc == 1.0, out[out["lang_pred"] != out["lang_true"]].head()

@@ -114,7 +114,7 @@ _CONTENT_POOL = (
 ).split()
 
 
-# script-language character pools for the v2 lang fixture (codepoint
+# script-language character pools for the lang fixture (codepoint
 # ranges match functions/langid.SCRIPT_CLASSES)
 _SCRIPT_POOLS = {
     "zh": [(0x4E00, 0x9FFF)],                      # CJK ideographs only

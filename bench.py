@@ -97,8 +97,8 @@ def main():
     for name in (
         "rollup_1m", "rollup_1d", "fleet_stats_1h", "idw_fill_all",
         "pair_variogram_types", "evg_binned", "variogram_fit_dim",
-        "dedup_exact", "text_quality", "minhash_bands", "cosine_topk",
-        "winnow_fingerprints", "ivf_cosine_topk", "winnow_candidates",
+        "dedup_exact", "text_quality", "minhash_lsh", "cosine_topk",
+        "ivf_cosine_topk", "winnow_dedup",
         "corpus_select",
     ):
         fn = Q.queries()[name]

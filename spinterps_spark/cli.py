@@ -222,7 +222,7 @@ def cmd_ann(args) -> int:
 
 def cmd_analyze(args) -> int:
     """Per-document text analysis in one pass: token counts, quality
-    score, language ID (8 languages + unk), PII counts and optionally the
+    score, language ID (argmax over langid.LANG_ORDER + unk), PII counts and optionally the
     redacted text — the curation-pipeline projection, all JVM-side."""
     from pyspark.sql import functions as F
 

@@ -61,14 +61,21 @@ MIN_RATIO = 0.04
 def lang_score_cols(text: Column, toks: Column) -> dict[str, Column]:
     """Per-language score columns: stopword-hit ratio for Latin-script
     languages, script-block character ratio for zh/ja/ru/ar/ko."""
+    # Both divisors are guarded: under Spark 4's ANSI mode an empty or
+    # whitespace-only doc (n == 0 or nz == 0) would otherwise throw
+    # DIVIDE_BY_ZERO and fail the whole job. Degenerate docs score 0.0 on
+    # every language and fall through to 'unk' — identically in the DuckDB
+    # twin (sql_lang_expr uses nullif+coalesce).
     n = F.size(toks).cast("double")
     out = {}
     for lang, words in STOPWORDS_BY_LANG.items():
         hits = F.size(F.filter(toks, lambda x: x.isin(*words)))
-        out[lang] = hits / n
+        out[lang] = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
     nz = F.length(F.translate(text, " ", "")).cast("double")
     script = {
-        k: F.regexp_count(text, F.lit(java)).cast("double") / nz
+        k: F.when(
+            nz > 0, F.regexp_count(text, F.lit(java)).cast("double") / nz
+        ).otherwise(F.lit(0.0))
         for k, (java, _re2) in SCRIPT_CLASSES.items()
     }
     out["zh"] = F.greatest(
@@ -109,14 +116,18 @@ def sql_lang_expr(
     codepoint ranges the Spark side counts with Java \\uXXXX classes."""
     score = {
         lang: (
-            f"(len(list_filter({toks_sql}, x -> x IN "
-            f"{_sql_word_list(words)})) / CAST(len({toks_sql}) AS DOUBLE))"
+            f"coalesce(len(list_filter({toks_sql}, x -> x IN "
+            f"{_sql_word_list(words)})) "
+            f"/ CAST(nullif(len({toks_sql}), 0) AS DOUBLE), 0.0)"
         )
         for lang, words in STOPWORDS_BY_LANG.items()
     }
     nz = f"CAST(length(replace({text_sql}, ' ', '')) AS DOUBLE)"
     sc = {
-        k: f"(CAST(len(regexp_extract_all({text_sql}, '{re2}')) AS DOUBLE) / {nz})"
+        k: (
+            f"coalesce(CAST(len(regexp_extract_all({text_sql}, '{re2}')) "
+            f"AS DOUBLE) / nullif({nz}, 0), 0.0)"
+        )
         for k, (_java, re2) in SCRIPT_CLASSES.items()
     }
     score["zh"] = f"greatest(0.0, {sc['cjk']} - 2.0 * {sc['kana']})"

@@ -45,21 +45,60 @@ def minhash_signatures(
     docs: DataFrame, n_bands: int = 8, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, band, minhash): band minhash = min md5('band:shingle')."""
+    """(doc_id, band, minhash): band minhash = min md5('band:shingle').
+
+    One-pass shape (VERDICT r4 next-step #3): all band minima come from a
+    SINGLE groupBy(doc_id) with one min-aggregate per band over the
+    exploded shingle table — the r1-r4 crossJoin(range(n_bands)) amplified
+    the shuffle-stage input n_bands x before the partial aggregate and
+    added a whole join stage. Band literals are baked into the hash
+    expressions (concat_ws renders an int band column as the same decimal
+    string), and the per-doc row of n_bands minima is stacked back to the
+    (doc_id, band, minhash) contract with one posexplode. Same output,
+    one shuffle keyed by doc_id alone, n_bands x fewer aggregate rows.
+    """
     d = docs.where(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(text_col, shingle_n)).alias("shingle"),
     )
-    bands = d.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    d = d.crossJoin(F.broadcast(bands))
-    return d.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("minhash")
+    mins = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+        ).alias(f"_m{b}")
+        for b in range(n_bands)
+    ]
+    sig = d.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_m{b}") for b in range(n_bands)])).alias(
+            "band", "minhash"
+        ),
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, min_bands: int = 2) -> DataFrame:
-    """Pairs agreeing on >= min_bands band-minhashes."""
-    a, b = sig.alias("a"), sig.alias("b")
+def lsh_candidate_pairs(
+    sig: DataFrame, min_bands: int = 2, max_bucket: int | None = None
+) -> DataFrame:
+    """Pairs agreeing on >= min_bands band-minhashes.
+
+    `max_bucket` is the stop-key cap (VERDICT r4 next-step #2, the same
+    remedy winnow_candidates ships): a (band, minhash) bucket shared by
+    more than max_bucket docs — boilerplate-dominated corpora produce
+    them — would make the self-join fan-out quadratic in that bucket's
+    size. Buckets over the cap are dropped before the join, bounding any
+    bucket's pair output at max_bucket^2/2; rare (true near-dup) buckets
+    are untouched. None = no cap."""
+    f = sig
+    if max_bucket is not None:
+        bucket_n = sig.groupBy("band", "minhash").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        f = sig.join(
+            bucket_n.where(F.col("_bn") <= max_bucket).select("band", "minhash"),
+            ["band", "minhash"],
+            "left_semi",
+        )
+    a, b = f.alias("a"), f.alias("b")
     return (
         a.join(b, ["band", "minhash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -824,6 +824,60 @@ GROUP BY 1, 2
 """
 
 
+def q_source_contracts(spark, sf_dir) -> DataFrame:
+    """Composite source-parity contract (VERDICT r4 next-step #1's
+    consolidation): the CSV, JSONL and JSON-props source queries union'd
+    into ONE long-format result, so all three parser contracts ride in a
+    single oracle hash and the registry stays inside the driver's
+    50-query CORRECTNESS window. Schema (part, src_key, n, a, b, x):
+      part='props_json': src_key=event_type, a=k_sum, b=k_min, x=k_max
+      part='csv':        src_key=event_type, a=id_min, b=id_max, x=v_mean
+      part='jsonl':      src_key=conv_id:bucket_min, a=tok_len_sum,
+                         b=tool_call_cnt, x=0.0
+    """
+    props = q_props_json_stats(spark, sf_dir).select(
+        F.lit("props_json").alias("part"),
+        F.col("event_type").alias("src_key"),
+        "n",
+        F.col("k_sum").alias("a"),
+        F.col("k_min").alias("b"),
+        F.col("k_max").cast("double").alias("x"),
+    )
+    csv = q_csv_source_agg(spark, sf_dir).select(
+        F.lit("csv").alias("part"),
+        F.col("event_type").alias("src_key"),
+        "n",
+        F.col("id_min").alias("a"),
+        F.col("id_max").alias("b"),
+        F.col("v_mean").alias("x"),
+    )
+    jsonl = q_jsonl_source_rollup(spark, sf_dir).select(
+        F.lit("jsonl").alias("part"),
+        F.concat_ws(":", "conv_id", "bucket_min").alias("src_key"),
+        F.col("turn_cnt").alias("n"),
+        F.col("tok_len_sum").alias("a"),
+        F.col("tool_call_cnt").alias("b"),
+        F.lit(0.0).alias("x"),
+    )
+    return props.unionByName(csv).unionByName(jsonl)
+
+
+def _sql_source_contracts() -> str:
+    return f"""
+SELECT 'props_json' AS part, event_type AS src_key, n,
+       k_sum AS a, k_min AS b, CAST(k_max AS DOUBLE) AS x
+FROM ({SQL_PROPS_JSON}) pj
+UNION ALL
+SELECT 'csv' AS part, event_type AS src_key, n,
+       id_min AS a, id_max AS b, v_mean AS x
+FROM ({_sql_csv_source_agg()}) cs
+UNION ALL
+SELECT 'jsonl' AS part, conv_id || ':' || CAST(bucket_min AS VARCHAR) AS src_key,
+       turn_cnt AS n, tok_len_sum AS a, tool_call_cnt AS b, 0.0 AS x
+FROM ({_sql_jsonl_source_rollup()}) js
+"""
+
+
 CORPUS_MIN_TOKENS = 10
 CORPUS_MIN_QUALITY = 0.5
 
@@ -947,20 +1001,13 @@ N_BANDS = 4
 def q_minhash_bands(spark, sf_dir) -> DataFrame:
     """MinHash-LSH signatures: 3-token shingles, 4 bands, band minhash =
     lexicographic min of md5(band:shingle) — engine-agnostic string hashing
-    so Spark and the SQL oracle agree bit-for-bit."""
+    so Spark and the SQL oracle agree bit-for-bit. One-pass since r5: all
+    band minima in a single groupBy(doc_id) (operators/dedup.py), no
+    crossJoin band amplification."""
+    from spinterps_spark.operators import dedup as D
+
     d = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
-    d = d.where(F.size(toks) >= 3).select("doc_id", F.explode(shingles).alias("shingle"))
-    d = d.crossJoin(
-        _utc(spark).range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    )
-    return d.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("minhash")
-    )
+    return D.minhash_signatures(d, n_bands=N_BANDS)
 
 
 SQL_MINHASH_BANDS = f"""
@@ -1024,6 +1071,40 @@ pairs AS (
 )
 SELECT doc_a, count(*) AS n_candidates, min(doc_b) AS first_match
 FROM pairs GROUP BY doc_a
+"""
+
+
+def q_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """Composite MinHash-LSH contract (registry consolidation, VERDICT r4
+    next-step #1): band signatures AND the candidate aggregates in one
+    long-format result — one oracle hash locks both the signature values
+    and the bucket-join pair logic. Schema (part, k1, k2, sval):
+      part='sig':  k1=doc_id, k2=band, sval=minhash
+      part='cand': k1=doc_a, k2=n_candidates, sval=str(first_match)
+    """
+    sig = q_minhash_bands(spark, sf_dir).select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").alias("k1"),
+        F.col("band").cast("long").alias("k2"),
+        F.col("minhash").alias("sval"),
+    )
+    cand = q_lsh_candidates(spark, sf_dir).select(
+        F.lit("cand").alias("part"),
+        F.col("doc_a").alias("k1"),
+        F.col("n_candidates").alias("k2"),
+        F.col("first_match").cast("string").alias("sval"),
+    )
+    return sig.unionByName(cand)
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+SELECT 'sig' AS part, doc_id AS k1, CAST(band AS BIGINT) AS k2, minhash AS sval
+FROM ({SQL_MINHASH_BANDS}) s
+UNION ALL
+SELECT 'cand' AS part, doc_a AS k1, n_candidates AS k2,
+       CAST(first_match AS VARCHAR) AS sval
+FROM ({SQL_LSH_CANDIDATES}) c
 """
 
 
@@ -2256,6 +2337,47 @@ def q_winnow_candidates(spark, sf_dir) -> DataFrame:
     return D.winnow_candidates(docs, k=WINNOW_K, w=WINNOW_W)
 
 
+def q_winnow_dedup(spark, sf_dir) -> DataFrame:
+    """Composite winnowing contract (registry consolidation, VERDICT r4
+    next-step #1): the full fingerprint selections AND the verified
+    candidate pairs in one long-format result — one oracle hash locks the
+    rolling-hash/window-min fingerprints and the bucketed pair join +
+    Jaccard verify. Schema (part, k1, k2, v1, v2, jac):
+      part='fp':   k1=doc_id, k2=fp_pos, v1=fp_hash, v2=0, jac=0.0
+      part='cand': k1=doc_a, k2=doc_b, v1=n_shared_fps, v2=n_inter,
+                   jac=jaccard
+    """
+    fp = q_winnow_fingerprints(spark, sf_dir).select(
+        F.lit("fp").alias("part"),
+        F.col("doc_id").alias("k1"),
+        F.col("fp_pos").cast("long").alias("k2"),
+        F.col("fp_hash").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0.0).alias("jac"),
+    )
+    cand = q_winnow_candidates(spark, sf_dir).select(
+        F.lit("cand").alias("part"),
+        F.col("doc_a").alias("k1"),
+        F.col("doc_b").alias("k2"),
+        F.col("n_shared_fps").alias("v1"),
+        F.col("n_inter").alias("v2"),
+        F.col("jaccard").alias("jac"),
+    )
+    return fp.unionByName(cand)
+
+
+def _sql_winnow_dedup() -> str:
+    return f"""
+SELECT 'fp' AS part, doc_id AS k1, CAST(fp_pos AS BIGINT) AS k2,
+       fp_hash AS v1, CAST(0 AS BIGINT) AS v2, 0.0 AS jac
+FROM ({SQL_WINNOW}) w
+UNION ALL
+SELECT 'cand' AS part, doc_a AS k1, doc_b AS k2,
+       n_shared_fps AS v1, n_inter AS v2, jaccard AS jac
+FROM ({SQL_WINNOW_CAND}) c
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     """Exact n-gram Jaccard over distinct 3-token shingles for consecutive
     doc-id pairs (candidate-verification stage of near-dup dedup)."""
@@ -2382,11 +2504,23 @@ QUERIES = {
     "lang_id": (q_lang_id, lambda: _sql_lang_id()),
     "pii_redact": (q_pii_redact, lambda: _sql_pii_redact()),
     "corpus_select": (q_corpus_select, lambda: SQL_CORPUS_SELECT),
-    "props_json_stats": (q_props_json_stats, lambda: SQL_PROPS_JSON),
-    "csv_source_agg": (q_csv_source_agg, lambda: _sql_csv_source_agg()),
-    "jsonl_source_rollup": (q_jsonl_source_rollup, lambda: _sql_jsonl_source_rollup()),
-    "minhash_bands": (q_minhash_bands, lambda: SQL_MINHASH_BANDS),
-    "lsh_candidates": (q_lsh_candidates, lambda: SQL_LSH_CANDIDATES),
+    # kernel queries (pinv matrix solves / DE optimizer): not
+    # SQL-expressible, so the oracle is a GOLDEN parquet materialized by the
+    # independent NumPy oracle (tests/oracle.py via tools_golden.py) and the
+    # SQL is a read_parquet of it — the driver's rows/schema/hash gate
+    # applies end-to-end (VERDICT r2 next-step #1). They sit HERE, well
+    # inside the driver's 50-query CORRECTNESS window, because r4's
+    # registry tail (> position 50) silently fell out of the gate
+    # (VERDICT r4 next-step #1).
+    "gapfill_ok_fitted": (q_gapfill_ok_fitted, lambda: _golden_sql("gapfill_ok_fitted")),
+    "gapfill_ok_regime": (q_gapfill_ok_regime, lambda: _golden_sql("gapfill_ok_regime")),
+    "gapfill_edk": (q_gapfill_edk, lambda: _golden_sql("gapfill_edk")),
+    "gapfill_edk_multi": (q_gapfill_edk_multi, lambda: _golden_sql("gapfill_edk_multi")),
+    "gapfill_ik": (q_gapfill_ik, lambda: _golden_sql("gapfill_ik")),
+    "variogram_fit_dim": (q_variogram_fit_dim, lambda: _golden_sql("variogram_fit_dim")),
+    "variogram_nbest_dim": (q_variogram_nbest_dim, lambda: _golden_sql("variogram_nbest_dim")),
+    "variogram_fit_regime": (q_variogram_fit_regime, lambda: _golden_sql("variogram_fit_regime")),
+    "vg_cluster_merge": (q_vg_cluster_merge, lambda: _golden_sql("vg_cluster_merge")),
     "dedup_components": (q_dedup_components, lambda: SQL_DEDUP_COMPONENTS),
     "cosine_topk": (q_cosine_topk, lambda: SQL_COSINE_TOPK),
     "pie_neighbors": (q_pie_neighbors, lambda: SQL_PIE_NEIGHBORS.format(cp=_cp())),
@@ -2405,22 +2539,12 @@ QUERIES = {
     "multimodal_features": (q_multimodal_features, lambda: _sql_multimodal_features()),
     "video_frames": (q_video_frames, lambda: _sql_video_frames()),
     "ngram_jaccard": (q_ngram_jaccard, lambda: SQL_NGRAM_JACCARD),
-    "winnow_fingerprints": (q_winnow_fingerprints, lambda: SQL_WINNOW),
-    "winnow_candidates": (q_winnow_candidates, lambda: SQL_WINNOW_CAND),
-    # kernel queries (pinv matrix solves / DE optimizer): not
-    # SQL-expressible, so the oracle is a GOLDEN parquet materialized by the
-    # independent NumPy oracle (tests/oracle.py via tools_golden.py) and the
-    # SQL is a read_parquet of it — the driver's rows/schema/hash gate
-    # applies end-to-end (VERDICT r2 next-step #1)
-    "gapfill_ok_fitted": (q_gapfill_ok_fitted, lambda: _golden_sql("gapfill_ok_fitted")),
-    "gapfill_ok_regime": (q_gapfill_ok_regime, lambda: _golden_sql("gapfill_ok_regime")),
-    "gapfill_edk": (q_gapfill_edk, lambda: _golden_sql("gapfill_edk")),
-    "gapfill_edk_multi": (q_gapfill_edk_multi, lambda: _golden_sql("gapfill_edk_multi")),
-    "gapfill_ik": (q_gapfill_ik, lambda: _golden_sql("gapfill_ik")),
-    "variogram_fit_dim": (q_variogram_fit_dim, lambda: _golden_sql("variogram_fit_dim")),
-    "variogram_nbest_dim": (q_variogram_nbest_dim, lambda: _golden_sql("variogram_nbest_dim")),
-    "variogram_fit_regime": (q_variogram_fit_regime, lambda: _golden_sql("variogram_fit_regime")),
-    "vg_cluster_merge": (q_vg_cluster_merge, lambda: _golden_sql("vg_cluster_merge")),
+    # composite contracts (r5 consolidation of 7 r4 entries into 3, so the
+    # whole registry fits the driver's 50-query window; the constituent
+    # queries remain callable and pytest-covered individually)
+    "minhash_lsh": (q_minhash_lsh, lambda: _sql_minhash_lsh()),
+    "winnow_dedup": (q_winnow_dedup, lambda: _sql_winnow_dedup()),
+    "source_contracts": (q_source_contracts, lambda: _sql_source_contracts()),
 }
 
 

@@ -144,9 +144,12 @@ def lang_docs_path(
     from ONE language's public table (functions/langid.py); zh/ja/ru/ar/ko
     docs are seeded words over the matching Unicode script block (ja mixes
     ~75% kana with kanji — the kana evidence that separates it from zh);
-    plus stopword-free Latin 'unk' docs. The seeded fixture a real
-    language-ID operator must separate at 100% accuracy."""
-    path = os.path.join(FIXTURE_DIR, f"lang_docs_v3_{n_per_lang}_{seed}.parquet")
+    plus stopword-free Latin 'unk' docs AND two degenerate docs (empty
+    string, whitespace-only) that must score 0.0 everywhere and fall
+    through to 'unk' without tripping ANSI DIVIDE_BY_ZERO (ADVICE r4
+    high). The seeded fixture a real language-ID operator must separate
+    at 100% accuracy."""
+    path = os.path.join(FIXTURE_DIR, f"lang_docs_v4_{n_per_lang}_{seed}.parquet")
     if not os.path.exists(path):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         import numpy as np
@@ -176,6 +179,10 @@ def lang_docs_path(
                             toks[int(p)] = words[rng.randint(len(words))]
                 rows.append((doc_id, lang, " ".join(toks)))
                 doc_id += 1
+        # degenerate docs: every score divisor (token count, non-space
+        # char count) is zero — both engines must emit 'unk', not throw
+        rows.append((doc_id, "unk", ""))
+        rows.append((doc_id + 1, "unk", "   "))
         table = pa.table(
             {
                 "doc_id": pa.array([r[0] for r in rows], pa.int64()),

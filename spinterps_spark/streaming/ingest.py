@@ -174,6 +174,13 @@ def stream_asof_fill(
         out = []
         for t, v in pts:
             if last_t is not None and t == last_t:
+                if v != last_v:
+                    raise ValueError(
+                        f"stream_asof_fill: conflicting redelivery for "
+                        f"{conv!r} at t={t} (state holds v={last_v}, got "
+                        f"v={v}) — silently keeping either would let the "
+                        "stream diverge from the batch operator"
+                    )
                 continue  # idempotent redelivery of the current endpoint
             if last_t is not None and t < last_t:
                 raise ValueError(

@@ -56,9 +56,10 @@ def main():
     sections.append(("Brute-force cosine top-k (broadcast queries, codegen dot products)", p4,
                      ["BroadcastNestedLoopJoin", "AdaptiveSparkPlan"]))
 
-    p5 = plan_of(Q.queries()["minhash_bands"](spark, sf))
-    sections.append(("MinHash bands (explode + broadcast bands + hash agg)", p5,
-                     ["Generate", "BroadcastExchange", "Aggregate"]))
+    p5 = plan_of(Q.q_minhash_bands(spark, sf))
+    sections.append(("MinHash bands (one-pass: explode + single doc_id agg, "
+                     "no band crossJoin — r5)", p5,
+                     ["Generate", "Aggregate"]))
 
     # r2: as-of infill is a sort-merge WINDOW WALK — no gaps x refs join.
     # The only joins in this plan build the spine (bounds + left join);

@@ -258,6 +258,33 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """The composed curation pipeline as ONE resumable pass: dedup
+    keep-one (exact/lsh/winnow) -> PII redact -> quality/lang gate ->
+    corpus parquet, checkpointed per wave (plans/corpus.py). Re-run with
+    --resume RUN_ID after a crash: done waves are skipped."""
+    from spinterps_spark.plans.corpus import run_corpus_pipeline
+
+    spark = _spark("spinterps_spark.corpus")
+    docs = spark.read.parquet(args.input)
+    metrics = run_corpus_pipeline(
+        spark,
+        docs,
+        args.out,
+        dedup_mode=args.mode,
+        min_tokens=args.min_tokens,
+        min_quality=args.min_quality,
+        langs=args.langs.split(",") if args.langs else None,
+        n_waves=args.waves,
+        run_id=args.resume,
+        jaccard=args.jaccard,
+        max_bucket=args.max_bucket or None,
+        algorithm=args.algorithm,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spinterps_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -360,6 +387,25 @@ def main(argv=None) -> int:
     an.add_argument("--redact", action="store_true",
                     help="also emit text_redacted (PII rule cascade)")
     an.set_defaults(fn=cmd_analyze)
+
+    c = sub.add_parser("corpus", help="end-to-end curation: dedup keep-one "
+                       "-> PII redact -> quality/lang gate -> corpus parquet "
+                       "(checkpointed, wave-resumable)")
+    c.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--mode", default="exact", choices=["exact", "lsh", "winnow"])
+    c.add_argument("--min-tokens", dest="min_tokens", type=int, default=10)
+    c.add_argument("--min-quality", dest="min_quality", type=float, default=0.5)
+    c.add_argument("--langs", default=None,
+                   help="comma-separated lang allowlist (default: keep all)")
+    c.add_argument("--waves", type=int, default=4)
+    c.add_argument("--resume", default=None, help="run_id to resume")
+    c.add_argument("--jaccard", type=float, default=0.8)
+    c.add_argument("--max-bucket", dest="max_bucket", type=int, default=0,
+                   help="near-dup bucket stop-key cap (0 = uncapped)")
+    c.add_argument("--algorithm", default="minlabel",
+                   choices=["minlabel", "star"])
+    c.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -112,8 +112,8 @@ class CheckpointLog:
             )
 
 
-def wave_col(n_waves: int):
-    return F.pmod(F.xxhash64("conv_id"), F.lit(n_waves)).cast("int")
+def wave_col(n_waves: int, wave_key: str = "conv_id"):
+    return F.pmod(F.xxhash64(wave_key), F.lit(n_waves)).cast("int")
 
 
 def checksum_agg(df: DataFrame, cols: list[str]):
@@ -142,6 +142,7 @@ def run_waved_pass(
     checksum_cols: list[str] | None = None,
     count_input: bool = False,
     one_pass: bool = True,
+    wave_key: str = "conv_id",
 ) -> DataFrame:
     """Execute `transform` over conversation-hash waves, writing wave K's
     output to out_dir/wave=K and appending one lineage row per wave.
@@ -168,7 +169,7 @@ def run_waved_pass(
 
     done = ckpt.done_waves(run_id, tier, n_waves=n_waves)
     pending = [w for w in range(n_waves) if w not in done]
-    src = source.withColumn("_wave", wave_col(n_waves))
+    src = source.withColumn("_wave", wave_col(n_waves, wave_key))
     if not pending:
         return spark.read.parquet(os.path.join(out_dir, "wave=*"))
 
@@ -213,7 +214,7 @@ def run_waved_pass(
     if one_pass:
         t0 = time.time()
         sub = src.where(F.col("_wave").isin(pending)).drop("_wave")
-        out = transform(sub).withColumn("wave", wave_col(n_waves))
+        out = transform(sub).withColumn("wave", wave_col(n_waves, wave_key))
         # per-wave lineage metrics ride the write job itself: one
         # conditional (cnt, checksum) aggregate pair per pending wave on an
         # Observation — no re-read of the written output (keeps the

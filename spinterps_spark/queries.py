@@ -929,6 +929,69 @@ WHERE doc_id = canon AND quality_score >= {CORPUS_MIN_QUALITY}
 """
 
 
+def q_corpus_pipeline(spark, sf_dir) -> DataFrame:
+    """END-TO-END curation pipeline contract (VERDICT r4 next-step #6):
+    actually RUNS plans/corpus.run_corpus_pipeline (exact-dedup keep-one ->
+    PII redact -> quality gate -> checkpointed waved corpus write) into a
+    scratch dir, then returns the WRITTEN corpus parquet — so the oracle
+    hash locks the whole composed pass end-to-end including the wave
+    write/read path, not just a logical plan. The DuckDB twin recomputes
+    selection + annotations + the redaction cascade independently from the
+    raw documents table."""
+    import shutil
+    import tempfile
+
+    from spinterps_spark.plans.corpus import run_corpus_pipeline
+
+    import os
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spinterps_corpus_q",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    run_corpus_pipeline(spark, docs.select("doc_id", "text"), base,
+                        dedup_mode="exact", n_waves=2)
+    out = spark.read.parquet(os.path.join(base, "corpus", "wave=*"))
+    return out.select(
+        "doc_id", "n_tokens", "quality_score", "lang",
+        "n_email", "n_card", "n_ipv4", "n_phone",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def _sql_corpus_pipeline() -> str:
+    from spinterps_spark.functions.langid import sql_lang_expr
+    from spinterps_spark.functions.redact import sql_pii_exprs
+
+    counts, red = sql_pii_exprs("text")
+    count_cols = ",\n       ".join(
+        f"{expr} AS n_{name}" for name, expr in counts.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         round(least(1.0, len(toks) / 100.0) *
+               (1 - coalesce(len(list_filter(toks, x -> x IN {_SW_SQL}))
+                    / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0)), 6)
+           AS quality_score,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
+       {sql_lang_expr("text", "toks")} AS lang,
+       {count_cols},
+       md5({red}) AS redacted_md5
+FROM q
+WHERE doc_id = canon AND quality_score >= {CORPUS_MIN_QUALITY}
+  AND n_tokens >= {CORPUS_MIN_TOKENS}
+"""
+
+
 def q_pii_redact(spark, sf_dir) -> DataFrame:
     """PII detection + redaction (training-data curation staple): per-doc
     email/card/phone/IPv4 counts on the original text plus the cascaded
@@ -2504,6 +2567,7 @@ QUERIES = {
     "lang_id": (q_lang_id, lambda: _sql_lang_id()),
     "pii_redact": (q_pii_redact, lambda: _sql_pii_redact()),
     "corpus_select": (q_corpus_select, lambda: SQL_CORPUS_SELECT),
+    "corpus_pipeline": (q_corpus_pipeline, lambda: _sql_corpus_pipeline()),
     # kernel queries (pinv matrix solves / DE optimizer): not
     # SQL-expressible, so the oracle is a GOLDEN parquet materialized by the
     # independent NumPy oracle (tests/oracle.py via tools_golden.py) and the

@@ -366,7 +366,6 @@ def fit_vg_model(
     """Fit candidate model mixes to an empirical variogram, pick by AIC
     (reference K6: DE over permutations, weighted SSE, AIC = n*ln(obj)+2k,
     variograms/vgs.py:661-848). Returns (vg_str, aic)."""
-    from spinterps_spark.functions.vg_models import vg_vals
 
     lags = np.asarray(lags, dtype=np.float64)
     gammas = np.asarray(gammas, dtype=np.float64)
@@ -387,15 +386,22 @@ def fit_vg_model(
     var2 = 2.0 * max(float(np.var(gammas)), float(np.max(gammas)), 1e-6)
     min_lag, max_lag = float(lags.min()), float(lags.max())
 
+    from spinterps_spark.functions.vg_models import VG_FTNS
+
     fits = []
     for mix in mixes:
         k = 2 * len(mix)
 
         def obj(x, _mix=mix):
+            # direct model evaluation — bit-identical to the r1-r4
+            # vg_vals(f"{sill} {name}({rng_p})") string round-trip (Python
+            # float repr round-trips exactly; same >=1e-5 range clamp as
+            # parse_vg_str; same accumulation order) but without paying a
+            # format+parse on every one of the ~3k DE evaluations per mix
             g = np.zeros_like(lags)
             for m_i, name in enumerate(_mix):
                 sill, rng_p = x[2 * m_i], x[2 * m_i + 1]
-                g += vg_vals(f"{sill} {name}({rng_p})", lags)
+                g += VG_FTNS[name](lags, max(1e-5, rng_p), sill)
             return float(np.sum(wts * (gammas - g) ** 2))
 
         bounds = []
@@ -435,60 +441,83 @@ FIT_SCHEMA = "cluster_id int, vg_str string, aic double, n_bins int"
 FIT_NBEST_SCHEMA = "cluster_id int, rank int, vg_str string, aic double"
 
 
-def fit_cluster_variograms_nbest(evg: DataFrame, n_best: int = 3, seed: int = 1) -> DataFrame:
-    """T4 n-best fits surfaced as a dim table: the reference's FitVariograms
-    keeps the n best models by AIC per entity (variograms/vgs.py:809-818,
-    per-step table fitvgs.py:95-114); here per cluster, ranked ascending."""
+def _per_mix_fits(evg: DataFrame, keys: list[str], seed: int) -> DataFrame:
+    """One DE fit per (group, model-mix) — the parallelization grain.
 
-    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bin")
-        res = fit_vg_models_nbest(
-            pdf["lag"].to_numpy(), pdf["gamma"].to_numpy(),
-            pdf["n_pairs"].to_numpy(), n_best=n_best, seed=seed,
-        )
-        return pd.DataFrame(
-            {
-                "cluster_id": int(pdf["cluster_id"].iloc[0]),
-                "rank": np.arange(1, len(res) + 1, dtype=np.int32),
-                "vg_str": [s for _a, s in res],
-                "aic": [a for a, _s in res],
-            }
-        )
-
-    return evg.groupBy("cluster_id").applyInPandas(fit_group, schema=FIT_NBEST_SCHEMA)
-
-
-def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:
-    """One K6 fit per cluster (or per (cluster, regime) when the evg was
-    built with regime_col — the per-step variogram table analog) via
-    applyInPandas -> vg dim: the weight model reused across buckets
-    (reference O2 rewrite)."""
-    with_regime = "regime" in evg.columns
-    keys = ["cluster_id"] + (["regime"] if with_regime else [])
-    schema = (
-        "cluster_id int, regime string, vg_str string, aic double, n_bins int"
-        if with_regime else FIT_SCHEMA
+    r1-r4 fitted all len(MODEL_MIXES) mixes sequentially inside one
+    applyInPandas group per cluster, so an 8-cluster dim ran as 8 tasks on
+    32 cores (VERDICT r4 next-step #8: under-parallelized). Exploding a
+    mix_id column first makes the unit of work (group x mix) — 48 tasks —
+    exactly like the reference parallelizing across model permutations
+    (variograms/vgs.py:661-848, one opt per permutation). Bit-identical to
+    the sequential path: each mix always ran its own _de_minimize with the
+    same seed, so per-mix tasks reproduce the same numbers, and the min-AIC
+    reduce below uses the same (aic, mix order) tie-break as the old stable
+    sort. Group rows are tiny (n_bins per mix), so the explode's
+    len(MODEL_MIXES)x row amplification is on a dim-sized table."""
+    x = evg.withColumn(
+        "mix_id", F.explode(F.array(*[F.lit(i) for i in range(len(MODEL_MIXES))]))
     )
 
-    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bin")
+        mix = MODEL_MIXES[int(pdf["mix_id"].iloc[0])]
         vg, aic = fit_vg_model(
             pdf["lag"].to_numpy(),
             pdf["gamma"].to_numpy(),
             pdf["n_pairs"].to_numpy(),
+            mixes=(mix,),
             seed=seed,
         )
-        row = {
-            "cluster_id": [int(pdf["cluster_id"].iloc[0])],
-            "vg_str": [vg],
-            "aic": [aic],
-            "n_bins": [len(pdf)],
-        }
-        if with_regime:
-            row["regime"] = [pdf["regime"].iloc[0]]
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["mix_id"] = [int(pdf["mix_id"].iloc[0])]
+        row["vg_str"] = [vg]
+        row["aic"] = [aic]
+        row["n_bins"] = [len(pdf)]
         return pd.DataFrame(row)
 
-    return evg.groupBy(*keys).applyInPandas(fit_group, schema=schema)
+    key_schema = ", ".join(
+        f"{k} {'int' if k == 'cluster_id' else 'string'}" for k in keys
+    )
+    schema = f"{key_schema}, mix_id int, vg_str string, aic double, n_bins int"
+    return x.groupBy(*keys, "mix_id").applyInPandas(fit_one, schema=schema)
+
+
+def fit_cluster_variograms_nbest(evg: DataFrame, n_best: int = 3, seed: int = 1) -> DataFrame:
+    """T4 n-best fits surfaced as a dim table: the reference's FitVariograms
+    keeps the n best models by AIC per entity (variograms/vgs.py:809-818,
+    per-step table fitvgs.py:95-114); here per cluster, ranked ascending.
+    Fits run one task per (cluster, mix); ranking is a window over the
+    per-mix results."""
+    from pyspark.sql import Window
+
+    per_mix = _per_mix_fits(evg, ["cluster_id"], seed)
+    w = Window.partitionBy("cluster_id").orderBy("aic", "mix_id")
+    return (
+        per_mix.where(F.col("vg_str") != VG_SENTINEL)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= n_best)
+        .select("cluster_id", "rank", "vg_str", "aic")
+    )
+
+
+def fit_cluster_variograms(evg: DataFrame, seed: int = 1) -> DataFrame:
+    """One K6 fit per cluster (or per (cluster, regime) when the evg was
+    built with regime_col — the per-step variogram table analog) -> vg dim:
+    the weight model reused across buckets (reference O2 rewrite). Fits run
+    one task per (group, mix) — see _per_mix_fits — then reduce to the
+    min-AIC winner per group."""
+    from pyspark.sql import Window
+
+    with_regime = "regime" in evg.columns
+    keys = ["cluster_id"] + (["regime"] if with_regime else [])
+    per_mix = _per_mix_fits(evg, keys, seed)
+    w = Window.partitionBy(*keys).orderBy("aic", "mix_id")
+    out = (
+        per_mix.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return out.select(*keys, "vg_str", "aic", "n_bins")
 
 
 def broadcast_regime_vg(

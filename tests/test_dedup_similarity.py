@@ -726,6 +726,56 @@ def test_lsh_candidate_pairs_max_bucket_cap(spark):
     assert (capped["n_bands"] == 4).all()
 
 
+def test_lsh_skew_zipf_mega_cluster_bounded(spark):
+    """VERDICT r4 next-step #7: a Zipf-skewed near-dup corpus — one
+    1000-doc boilerplate mega-cluster plus a tail of genuine near-dup
+    clusters — must flow through the candidate stage with BOUNDED fan-out.
+    The engineered defense is layered: the max_bucket stop key drops the
+    mega-bucket before the self-join (candidate count = exactly the tail
+    clusters' pairs, not C(1000,2) ~ 500k), the exact-dedup path still
+    collapses the identical mega-group (it shuffles on md5, one row per
+    group, skew-immune), and star components finish the tail in O(log)
+    rounds."""
+    sizes = [1000, 50, 20, 10, 5, 3, 2]  # Zipf-ish cluster spectrum
+    rows, doc_id = [], 0
+    for c, size in enumerate(sizes):
+        text = " ".join(f"c{c}tok{i}" for i in range(40))
+        for _ in range(size):
+            rows.append((doc_id, text))
+            doc_id += 1
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sig = D.minhash_signatures(docs, n_bands=4)
+
+    capped = D.lsh_candidate_pairs(sig, min_bands=2, max_bucket=64).toPandas()
+    tail_pairs = sum(s * (s - 1) // 2 for s in sizes[1:])
+    assert len(capped) == tail_pairs  # mega-cluster never reached the join
+    # every tail cluster fully paired and agreeing on all bands
+    assert (capped["n_bands"] == 4).all()
+
+    # identical mega-group is the EXACT path's job: one row per content
+    # group regardless of group size (groupBy(md5) — two-phase partial
+    # aggregation, no quadratic stage)
+    ex = D.exact_dedup(docs).toPandas()
+    assert len(ex) == len(sizes)
+    assert int(ex["n_docs"].max()) == 1000
+    assert int(ex.loc[ex["n_docs"].idxmax(), "keep_id"]) == 0
+
+    # star components over the capped pairs: tail clusters collapse to
+    # their min ids in logarithmic rounds
+    comp = D.connected_components(
+        capped[["doc_a", "doc_b"]].pipe(spark.createDataFrame),
+        algorithm="star",
+    ).toPandas()
+    want_roots = {}
+    start = sizes[0]
+    for s in sizes[1:]:
+        for d in range(start, start + s):
+            want_roots[d] = start
+        start += s
+    got = dict(zip(comp["doc_id"], comp["component"]))
+    assert got == want_roots
+
+
 def test_pii_redact_detects_every_planted_item(spark):
     """Detection accuracy on the planted-PII fixture: regex counts equal
     the planted ground truth on EVERY doc (no false positives from clean

@@ -161,6 +161,21 @@ def main():
     sections.append(("Star connected components, one large-star rewrite (r4: join+agg rounds, O(log n) total)", p14,
                      ["HashAggregate", "Exchange"]))
 
+    # r5: capped LSH candidate pairs under skew — the (band, minhash)
+    # bucket-count aggregate feeds a LEFT-SEMI stop-key filter BEFORE the
+    # self-join, so a boilerplate mega-bucket (Zipf-skewed corpora) can
+    # never reach the quadratic pair stage; every join stays keyed, and
+    # AQE wraps the whole plan for runtime skew splits on what remains.
+    sig = D.minhash_signatures(docs, n_bands=4)
+    p15 = plan_of(D.lsh_candidate_pairs(sig, min_bands=2, max_bucket=64))
+    has_cross15 = "CartesianProduct" in p15 or "BroadcastNestedLoopJoin" in p15
+    p15 = (f"(cross-product nodes present: {has_cross15} — must be False; "
+           f"the stop-key semi filter precedes the band-bucket self-join)\n"
+           ) + p15
+    sections.append(("Capped LSH candidate pairs (r5: bucket-count semi filter bounds skewed fan-out)", p15,
+                     ["LeftSemi", "HashAggregate", "AdaptiveSparkPlan",
+                      "present: False"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

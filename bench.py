@@ -110,15 +110,16 @@ def main():
             F.length("ts_d2d") + F.length("vals_xor") + F.lit(20)
         ).alias("enc_bytes"),
     ).collect()[0]
-    out["gorilla_points"] = int(gstats["pts"])
-    out["gorilla_ratio"] = round(gstats["enc_bytes"] / (gstats["pts"] * 16.0), 4)
-    dec_best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        decode_tier_chunks(chunks).write.format("noop").mode("overwrite").save()
-        dec_best = min(dec_best, time.time() - t0)
-    out["gorilla_decode_sec"] = round(dec_best, 3)
-    out["gorilla_decode_pts_per_sec"] = round(gstats["pts"] / dec_best, 1)
+    if gstats["pts"]:  # sum() is NULL over an empty chunk table
+        out["gorilla_points"] = int(gstats["pts"])
+        out["gorilla_ratio"] = round(gstats["enc_bytes"] / (gstats["pts"] * 16.0), 4)
+        dec_best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            decode_tier_chunks(chunks).write.format("noop").mode("overwrite").save()
+            dec_best = min(dec_best, time.time() - t0)
+        out["gorilla_decode_sec"] = round(dec_best, 3)
+        out["gorilla_decode_pts_per_sec"] = round(gstats["pts"] / dec_best, 1)
     shutil.rmtree(work_dir, ignore_errors=True)
 
     # ---- oracle-checked operator queries at sf_dir: 3 repeats, report min

@@ -76,28 +76,33 @@ def minhash_signatures(
     )
 
 
+def cap_buckets(
+    df: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Stop-key cap shared by every bucketed candidate generator: drop
+    rows whose `keys` bucket holds more than max_bucket rows, BEFORE the
+    bucket self-join, so a boilerplate mega-bucket can never make the pair
+    fan-out quadratic in its size (bounded at max_bucket^2/2 per bucket).
+    None = no cap."""
+    if max_bucket is None:
+        return df
+    bucket_n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    return df.join(
+        bucket_n.where(F.col("_bn") <= max_bucket).select(*keys),
+        keys,
+        "left_semi",
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, min_bands: int = 2, max_bucket: int | None = None
 ) -> DataFrame:
     """Pairs agreeing on >= min_bands band-minhashes.
 
     `max_bucket` is the stop-key cap (VERDICT r4 next-step #2, the same
-    remedy winnow_candidates ships): a (band, minhash) bucket shared by
-    more than max_bucket docs — boilerplate-dominated corpora produce
-    them — would make the self-join fan-out quadratic in that bucket's
-    size. Buckets over the cap are dropped before the join, bounding any
-    bucket's pair output at max_bucket^2/2; rare (true near-dup) buckets
-    are untouched. None = no cap."""
-    f = sig
-    if max_bucket is not None:
-        bucket_n = sig.groupBy("band", "minhash").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        f = sig.join(
-            bucket_n.where(F.col("_bn") <= max_bucket).select("band", "minhash"),
-            ["band", "minhash"],
-            "left_semi",
-        )
+    remedy winnow_candidates ships) over (band, minhash) buckets — see
+    cap_buckets."""
+    f = cap_buckets(sig, ["band", "minhash"], max_bucket)
     a, b = f.alias("a"), f.alias("b")
     return (
         a.join(b, ["band", "minhash"])
@@ -350,14 +355,9 @@ def winnow_candidates(
     Output: (doc_a, doc_b, n_shared_fps, n_inter, jaccard), doc_a < doc_b.
     """
     fps = winnow_fingerprints(docs, k, w, text_col, id_col)
-    f = fps.select("doc_id", "fp_hash").distinct()
-    if max_bucket is not None:
-        bucket_n = f.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_bn"))
-        f = f.join(
-            bucket_n.where(F.col("_bn") <= max_bucket).select("fp_hash"),
-            "fp_hash",
-            "left_semi",
-        )
+    f = cap_buckets(
+        fps.select("doc_id", "fp_hash").distinct(), ["fp_hash"], max_bucket
+    )
     cand = (
         f.select(F.col("doc_id").alias("doc_a"), "fp_hash")
         .join(f.select(F.col("doc_id").alias("doc_b"), "fp_hash"), "fp_hash")

@@ -953,7 +953,12 @@ def q_corpus_pipeline(spark, sf_dir) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
     run_corpus_pipeline(spark, docs.select("doc_id", "text"), base,
-                        dedup_mode="exact", n_waves=2)
+                        dedup_mode="exact", n_waves=2,
+                        # explicit: the SQL twin interpolates these same
+                        # constants — relying on plans/corpus.py defaults
+                        # would let the two gates drift apart silently
+                        min_tokens=CORPUS_MIN_TOKENS,
+                        min_quality=CORPUS_MIN_QUALITY)
     out = spark.read.parquet(os.path.join(base, "corpus", "wave=*"))
     return out.select(
         "doc_id", "n_tokens", "quality_score", "lang",
@@ -2610,6 +2615,16 @@ QUERIES = {
     "winnow_dedup": (q_winnow_dedup, lambda: _sql_winnow_dedup()),
     "source_contracts": (q_source_contracts, lambda: _sql_source_contracts()),
 }
+
+# the driver's CORRECTNESS gate runs the FIRST 50 registry entries; r4's
+# tail (#51-53) silently fell out of the gate. Entry #51 must be a loud
+# failure, not a silent coverage hole: consolidate into a composite (the
+# minhash_lsh / winnow_dedup / source_contracts pattern) before adding.
+DRIVER_GATE_WINDOW = 50
+assert len(QUERIES) <= DRIVER_GATE_WINDOW, (
+    f"{len(QUERIES)} registry entries exceed the driver's "
+    f"{DRIVER_GATE_WINDOW}-query correctness window — consolidate before adding"
+)
 
 
 def _golden_sql(name: str) -> str:

@@ -174,7 +174,10 @@ def stream_asof_fill(
         out = []
         for t, v in pts:
             if last_t is not None and t == last_t:
-                if v != last_v:
+                # NaN-safe: a redelivered NaN point is idempotent too
+                # (NaN != NaN would otherwise raise on the exact replay
+                # the continue below exists for)
+                if v != last_v and not (v != v and last_v != last_v):
                     raise ValueError(
                         f"stream_asof_fill: conflicting redelivery for "
                         f"{conv!r} at t={t} (state holds v={last_v}, got "

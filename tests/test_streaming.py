@@ -282,3 +282,68 @@ def test_stream_asof_fill_raises_on_out_of_order(spark, tmp_path):
     with _pytest.raises(StreamingQueryException, match="out-of-order"):
         q.awaitTermination(120)
         q.processAllAvailable()
+
+
+def test_stream_asof_fill_conflicting_redelivery_raises_nan_idempotent(
+    spark, tmp_path
+):
+    """ADVICE r4: a same-bucket redelivery carrying a DIFFERENT value must
+    raise (silently keeping the stale endpoint would diverge from the
+    batch operator); a byte-identical redelivery — including a NaN value,
+    where v != v — stays an idempotent skip."""
+    import math
+
+    import pytest as _pytest
+
+    from spinterps_spark.streaming.ingest import stream_asof_fill
+
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)
+
+    def _rollup_file(path, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "bucket_ts", "v"])
+        pdf["bucket_ts"] = pd.to_datetime(
+            pdf["bucket_ts"], unit="s"
+        ).astype("datetime64[us]")
+        pdf.to_parquet(path)
+
+    # NaN redelivery: identical row replayed -> no error, stream completes
+    in_ok = str(tmp_path / "in_ok")
+    os.makedirs(in_ok)
+    _rollup_file(os.path.join(in_ok, "a.parquet"), [
+        ("c1", t0, float("nan")), ("c1", t0 + 3600, 20.0),
+    ])
+    import time as _time
+    _time.sleep(0.05)
+    _rollup_file(os.path.join(in_ok, "b.parquet"), [
+        ("c1", t0 + 3600, 20.0),  # exact redelivery of the endpoint
+    ])
+    q = (
+        stream_asof_fill(spark, in_ok, tier="1h")
+        .writeStream.format("memory").queryName("asof_nan_redeliver")
+        .option("checkpointLocation", str(tmp_path / "ck_ok"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.processAllAvailable()
+    q.stop()
+
+    # conflicting redelivery: same bucket, different value -> LOUD failure
+    in_bad = str(tmp_path / "in_bad")
+    os.makedirs(in_bad)
+    _rollup_file(os.path.join(in_bad, "a.parquet"), [
+        ("c1", t0, 10.0), ("c1", t0 + 3600, 20.0),
+    ])
+    _time.sleep(0.05)
+    _rollup_file(os.path.join(in_bad, "b.parquet"), [
+        ("c1", t0 + 3600, 21.0),
+    ])
+    q2 = (
+        stream_asof_fill(spark, in_bad, tier="1h")
+        .writeStream.format("memory").queryName("asof_conflict")
+        .option("checkpointLocation", str(tmp_path / "ck_bad"))
+        .trigger(availableNow=True).start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with _pytest.raises(StreamingQueryException, match="conflicting redelivery"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()

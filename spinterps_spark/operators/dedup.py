@@ -329,6 +329,7 @@ def winnow_candidates(
     max_bucket: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints — the
     fingerprinting paper's actual use (SIGMOD'03 §1: find matches by
@@ -354,7 +355,11 @@ def winnow_candidates(
 
     Output: (doc_a, doc_b, n_shared_fps, n_inter, jaccard), doc_a < doc_b.
     """
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    if fps is None:
+        fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    # callers that already materialized the fingerprint table (e.g. the
+    # winnow_dedup composite, which also emits it) pass fps= to avoid
+    # running the whole gram/window-min pipeline a second time
     f = cap_buckets(
         fps.select("doc_id", "fp_hash").distinct(), ["fp_hash"], max_bucket
     )

@@ -2415,7 +2415,14 @@ def q_winnow_dedup(spark, sf_dir) -> DataFrame:
       part='cand': k1=doc_a, k2=doc_b, v1=n_shared_fps, v2=n_inter,
                    jac=jaccard
     """
-    fp = q_winnow_fingerprints(spark, sf_dir).select(
+    from spinterps_spark.operators import dedup as D
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    # materialize the fingerprint table ONCE: both the 'fp' branch and the
+    # candidate generator consume it (localCheckpoint, or the gram/window
+    # pipeline would execute twice — once per union branch)
+    fps = D.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W).localCheckpoint()
+    fp = fps.select(
         F.lit("fp").alias("part"),
         F.col("doc_id").alias("k1"),
         F.col("fp_pos").cast("long").alias("k2"),
@@ -2423,7 +2430,7 @@ def q_winnow_dedup(spark, sf_dir) -> DataFrame:
         F.lit(0).cast("long").alias("v2"),
         F.lit(0.0).alias("jac"),
     )
-    cand = q_winnow_candidates(spark, sf_dir).select(
+    cand = D.winnow_candidates(docs, k=WINNOW_K, w=WINNOW_W, fps=fps).select(
         F.lit("cand").alias("part"),
         F.col("doc_a").alias("k1"),
         F.col("doc_b").alias("k2"),
@@ -2621,10 +2628,11 @@ QUERIES = {
 # failure, not a silent coverage hole: consolidate into a composite (the
 # minhash_lsh / winnow_dedup / source_contracts pattern) before adding.
 DRIVER_GATE_WINDOW = 50
-assert len(QUERIES) <= DRIVER_GATE_WINDOW, (
-    f"{len(QUERIES)} registry entries exceed the driver's "
-    f"{DRIVER_GATE_WINDOW}-query correctness window — consolidate before adding"
-)
+if len(QUERIES) > DRIVER_GATE_WINDOW:  # not assert: survives python -O
+    raise RuntimeError(
+        f"{len(QUERIES)} registry entries exceed the driver's "
+        f"{DRIVER_GATE_WINDOW}-query correctness window — consolidate before adding"
+    )
 
 
 def _golden_sql(name: str) -> str:

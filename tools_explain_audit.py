@@ -176,6 +176,24 @@ def main():
                      ["LeftSemi", "HashAggregate", "AdaptiveSparkPlan",
                       "present: False"]))
 
+    # r5: the corpus pipeline's expensive stage — one doc_id-keyed
+    # left-semi join against the materialized keep list, then pure
+    # regex/array projections (quality, langid, PII cascade) with zero
+    # further shuffles: the shape that makes the stage wave-decomposable
+    # and embarrassingly parallel at 100 TB.
+    from spinterps_spark.plans.corpus import curation_cols
+    keep_ids = docs.select("doc_id").limit(100)
+    p16 = plan_of(
+        docs.join(keep_ids, "doc_id", "left_semi")
+        .select("doc_id", *curation_cols())
+        .where("quality_score >= 0.5 AND n_tokens >= 10")
+    )
+    n_ex16 = len(re.findall(r"^\(\d+\) Exchange", p16, re.M))
+    p16 = (f"(Exchange nodes: {n_ex16} — join only; every annotation is a "
+           f"projection)\n") + p16
+    sections.append(("Corpus curation stage (r5: semi join + pure projections, wave-decomposable)", p16,
+                     ["LeftSemi", "regexp_replace", "Scan parquet"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

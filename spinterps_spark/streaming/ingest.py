@@ -351,3 +351,56 @@ def stream_dedup_turns(
             ["conv_id", "turn_idx", "text_hash", "text_len"]
         )
     )
+
+
+DOC_STREAM_SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+
+
+def stream_curation(
+    spark,
+    input_dir: str,
+    watermark: str = "2 hours",
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of the corpus pipeline's doc-local stage
+    (plans/corpus.py): documents arriving continuously are exact-deduped
+    within a watermark horizon, then quality-scored, language-ID'd,
+    PII-counted and REDACTED — the near-real-time curation feed a training
+    pipeline tails instead of re-running the batch pass.
+
+    Shape: one stateful op (dropDuplicatesWithinWatermark on a fixed-width
+    (text_hash, text_len) key — the stream_dedup_turns state-bounding
+    trick) followed by PURE projections (curation_cols: regex/array
+    algebra, JVM-side, stateless), so state is bounded by the watermark
+    window and everything downstream of the dedup is embarrassingly
+    parallel. availableNow over a static directory equals the batch
+    projection bit-for-bit on first-seen docs (pytest).
+
+    Keeps the FIRST delivery of each distinct text in the window (batch
+    keep-one keeps the min doc_id; a stream can only keep the first seen —
+    the watermark is the horizon within which the two agree for
+    at-least-once redelivery, the case this operator exists for)."""
+    from spinterps_spark.plans.corpus import curation_cols
+
+    src = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    deduped = (
+        src.withColumn("text_hash", F.xxhash64("text"))
+        .withColumn("text_len", F.length("text"))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash", "text_len"])
+        .drop("text_hash", "text_len")
+    )
+    out = deduped.select("doc_id", "ingest_ts", *curation_cols()).where(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    if langs:
+        out = out.where(F.col("lang").isin(*langs))
+    return out

@@ -347,3 +347,77 @@ def test_stream_asof_fill_conflicting_redelivery_raises_nan_idempotent(
     with _pytest.raises(StreamingQueryException, match="conflicting redelivery"):
         q2.awaitTermination(120)
         q2.processAllAvailable()
+
+
+def test_stream_curation_equals_batch_and_dedups(spark, tmp_path):
+    """stream_curation (r5): the doc-local curation stage as a continuous
+    query — availableNow over a doc directory equals the batch projection
+    bit-for-bit on first-seen docs, and a duplicate text redelivered in a
+    later micro-batch inside the watermark is dropped by the stateful
+    dedup."""
+    from pyspark.sql import functions as F
+
+    from spinterps_spark.plans.corpus import curation_cols
+    from spinterps_spark.streaming.ingest import stream_curation
+
+    base = 1_700_000_000
+    good = ("the quick brown fox jumped over the lazy dog near the river "
+            "bank while the sun was high and the wind was calm that day")
+    short = "too short"
+    rows1 = [(1, good, base), (2, short, base + 1), (3, good + " extra", base + 2)]
+    rows2 = [(4, good, base + 3600)]  # duplicate TEXT of doc 1 -> dropped
+
+    def _write(path, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ingest_ts"])
+        pdf["ingest_ts"] = pd.to_datetime(
+            pdf["ingest_ts"], unit="s"
+        ).astype("datetime64[us]")
+        pdf.to_parquet(path)
+
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    _write(os.path.join(in_dir, "a.parquet"), rows1)
+    import time as _time
+    _time.sleep(0.05)
+    _write(os.path.join(in_dir, "b.parquet"), rows2)
+
+    q = (
+        stream_curation(spark, in_dir, min_tokens=10, min_quality=0.1)
+        .writeStream.format("memory").queryName("curation_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM curation_stream")
+        .drop("ingest_ts").orderBy("doc_id").toPandas()
+    )
+
+    # batch twin over the FIRST-SEEN docs (1 and 3 pass gates; 2 too
+    # short; 4 is a duplicate text)
+    batch = (
+        spark.createDataFrame(
+            pd.DataFrame(rows1, columns=["doc_id", "text", "ingest_ts"])
+        )
+        .select("doc_id", *curation_cols())
+        .where("quality_score >= 0.1 AND n_tokens >= 10")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got["doc_id"]) == [1, 3]
+    pd.testing.assert_frame_equal(got, batch)
+
+    # lang allowlist variant drops everything (fixture is English)
+    q2 = (
+        stream_curation(spark, in_dir, min_tokens=10, min_quality=0.1,
+                        langs=["fr"])
+        .writeStream.format("memory").queryName("curation_stream_fr")
+        .option("checkpointLocation", str(tmp_path / "ck_fr"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.sql("SELECT * FROM curation_stream_fr").count() == 0

@@ -678,6 +678,11 @@ FROM documents GROUP BY 1
 # pattern mean the same thing in both engines
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"
 
+# ASCII punctuation as explicit codepoint ranges (!-/ :-@ [-` {-~):
+# identical semantics in Java and RE2 (no \p{Punct} — Java-only — and no
+# quote characters, so the class embeds safely in the SQL twin's literal)
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
 
 def q_text_quality(spark, sf_dir) -> DataFrame:
     """Text analysis: token count, stopword ratio, quality score, REAL
@@ -693,6 +698,7 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
         F.filter(toks, lambda x: x.isin(*STOPWORDS))
     )
     swr = F.round(sw / n_tok.cast("double"), 6)
+    nz = F.length(F.translate(F.col("text"), " ", "")).cast("double")
     return d.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
@@ -709,6 +715,17 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
         # BPE_TOKEN_RE for the cross-engine whitespace-class caveat
         F.regexp_count("text", F.lit(BPE_TOKEN_RE)).cast("long")
         .alias("bpe_tok_cnt"),
+        # punctuation evidence (the quality triad: length / punct /
+        # stopword ratios); ratio over NON-SPACE chars, ANSI-guarded
+        F.regexp_count("text", F.lit(PUNCT_RE)).cast("long")
+        .alias("punct_cnt"),
+        F.round(
+            F.when(
+                nz > 0,
+                F.regexp_count("text", F.lit(PUNCT_RE)).cast("double") / nz,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("punct_ratio"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fingerprint"),
     )
 
@@ -727,6 +744,10 @@ SELECT doc_id,
              (1 - len(list_filter(toks, x -> x IN {_SW_SQL})) / CAST(len(toks) AS DOUBLE)), 6) AS quality_score,
        {sql_lang_expr("text", "toks")} AS lang_pred,
        len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tok_cnt,
+       CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS punct_cnt,
+       round(coalesce(len(regexp_extract_all(text, '{PUNCT_RE}'))
+             / CAST(nullif(length(replace(text, ' ', '')), 0) AS DOUBLE), 0.0), 6)
+         AS punct_ratio,
        md5(array_to_string(toks[1:8], ' ')) AS fingerprint
 FROM t
 """

@@ -129,7 +129,7 @@ def main():
         "pair_variogram_types", "evg_binned", "variogram_fit_dim",
         "dedup_exact", "text_quality", "minhash_lsh", "cosine_topk",
         "ivf_cosine_topk", "winnow_dedup",
-        "corpus_select",
+        "weighted_resample", "corpus_select",
     ):
         fn = Q.queries()[name]
         best = float("inf")

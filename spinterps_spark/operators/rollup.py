@@ -175,3 +175,66 @@ def derived_metrics(rollup: DataFrame) -> DataFrame:
         (F.col("role_assistant_cnt") / F.col("turn_cnt")).alias("role_assistant_mix"),
         (F.col("role_tool_cnt") / F.col("turn_cnt")).alias("role_tool_mix"),
     )
+
+
+def weighted_resample(
+    rollup: DataFrame,
+    src_secs: int,
+    dst_secs: int,
+    value_col: str = "tok_len_sum",
+) -> DataFrame:
+    """A7/A8 analog — overlap-weighted resample onto a NON-ALIGNED grid.
+
+    The reference's raster resampler computes each destination cell as the
+    area-weight-sum of intersecting source cells (A7,
+    rsmp/aa_ras_to_ras.py:2014-2033) and, in the per-class variant, each
+    class's weighted coverage fraction of the cell (A8,
+    rsmp/ab_ras_to_ras_clss.py:208-231). The time graft replaces area
+    overlap with TIME overlap: each src tier bucket [t, t+src_secs)
+    distributes its mass uniformly over destination buckets of width
+    dst_secs in proportion to overlap seconds; role counts play the
+    classes, giving per-role weighted fractions per destination bucket.
+
+    Exactness: contributions accumulate as value x overlap-seconds — pure
+    integer sums, order-independent — with ONE double division at the end,
+    so a SQL twin matches bit-for-bit. Scale: the explode emits at most
+    ceil(src/dst)+1 rows per src bucket (2 for 60s->90s), then one
+    shuffle on (conv_id, dst bucket) — the same two-phase aggregate shape
+    as the tier cascade, no joins.
+
+    Output: (conv_id, dst_ts, <value_col>_resampled, w_sum, frac_user,
+    frac_assistant, frac_tool).
+    """
+    t0 = F.unix_timestamp("bucket_ts")
+    k_lo = F.floor(t0 / F.lit(dst_secs)).cast("long")
+    k_hi = F.floor((t0 + F.lit(src_secs - 1)) / F.lit(dst_secs)).cast("long")
+    x = rollup.select(
+        "conv_id",
+        t0.alias("_t"),
+        F.col(value_col).alias("_v"),
+        "turn_cnt", "role_user_cnt", "role_assistant_cnt", "role_tool_cnt",
+        F.explode(F.sequence(k_lo, k_hi)).alias("_k"),
+    )
+    ov = F.least(F.col("_t") + src_secs, (F.col("_k") + 1) * dst_secs) - F.greatest(
+        F.col("_t"), F.col("_k") * dst_secs
+    )
+    x = x.select("*", ov.alias("_ov")).where(F.col("_ov") > 0)
+    g = x.groupBy("conv_id", "_k").agg(
+        F.sum(F.col("_v") * F.col("_ov")).alias("_num"),
+        F.sum("_ov").alias("w_sum"),
+        F.sum(F.col("turn_cnt") * F.col("_ov")).alias("_tw"),
+        F.sum(F.col("role_user_cnt") * F.col("_ov")).alias("_uw"),
+        F.sum(F.col("role_assistant_cnt") * F.col("_ov")).alias("_aw"),
+        F.sum(F.col("role_tool_cnt") * F.col("_ov")).alias("_ow"),
+    )
+    return g.select(
+        "conv_id",
+        F.timestamp_seconds(F.col("_k") * dst_secs).alias("dst_ts"),
+        F.round(F.col("_num") / F.lit(float(src_secs)), 6).alias(
+            f"{value_col}_resampled"
+        ),
+        "w_sum",
+        F.round(F.col("_uw") / F.col("_tw"), 6).alias("frac_user"),
+        F.round(F.col("_aw") / F.col("_tw"), 6).alias("frac_assistant"),
+        F.round(F.col("_ow") / F.col("_tw"), 6).alias("frac_tool"),
+    )

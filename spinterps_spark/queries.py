@@ -1643,6 +1643,96 @@ FROM win WHERE probe = 1
 """
 
 
+def q_ecdf_suite(spark, sf_dir) -> DataFrame:
+    """Composite ecdf contract (r5 consolidation, same pattern as
+    minhash_lsh): the rank ecdf AND the interp1d boundary-fill lookup in
+    one long-format result. Schema (part, key, cluster_id, x, y):
+      part='rank':   key=conv_id, x=n_turns, y=ecdf
+      part='interp': key='',      x=probe v, y=prob_interp
+    """
+    ranks = q_ecdf_ranks(spark, sf_dir).select(
+        F.lit("rank").alias("part"),
+        F.col("conv_id").alias("key"),
+        "cluster_id",
+        F.col("n_turns").cast("double").alias("x"),
+        F.col("ecdf").alias("y"),
+    )
+    interp = q_ecdf_interp_lookup(spark, sf_dir).select(
+        F.lit("interp").alias("part"),
+        F.lit("").alias("key"),
+        "cluster_id",
+        F.col("v").alias("x"),
+        F.col("prob_interp").alias("y"),
+    )
+    return ranks.unionByName(interp)
+
+
+def _sql_ecdf_suite() -> str:
+    return f"""
+SELECT 'rank' AS part, conv_id AS key, cluster_id,
+       CAST(n_turns AS DOUBLE) AS x, ecdf AS y
+FROM ({SQL_ECDF.format(tp=_tp(), cp=_cp())}) r
+UNION ALL
+SELECT 'interp' AS part, '' AS key, cluster_id, v AS x, prob_interp AS y
+FROM ({SQL_ECDF_INTERP.format(tp=_tp(), cp=_cp())}) i
+"""
+
+
+RESAMPLE_DST_SECS = 90
+
+
+def q_weighted_resample(spark, sf_dir) -> DataFrame:
+    """A7/A8 analog (reference rsmp/aa_ras_to_ras.py:2014-2033 weighted
+    cell resample; rsmp/ab_ras_to_ras_clss.py:208-231 per-class
+    fractions): 1m tier buckets resampled onto a non-aligned 90 s grid by
+    time-overlap weights, with per-role weighted fractions per
+    destination bucket. Exact integer accumulation (value x
+    overlap-seconds as longs, one trailing double division), so the
+    oracle matches bit-for-bit."""
+    m1 = R.base_rollup(_t(spark, sf_dir), "1m")
+    return R.weighted_resample(m1, src_secs=60, dst_secs=RESAMPLE_DST_SECS)
+
+
+def _sql_weighted_resample() -> str:
+    d = RESAMPLE_DST_SECS
+    return f"""
+WITH m1 AS (
+  SELECT conv_id, epoch(date_trunc('minute', ts)) AS t,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS v,
+         count(*) AS turn_cnt,
+         CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS role_user_cnt,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS role_assistant_cnt,
+         CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS role_tool_cnt
+  FROM read_parquet('{{tp}}') GROUP BY 1, 2
+),
+x AS (
+  SELECT conv_id, t, v, turn_cnt,
+         role_user_cnt, role_assistant_cnt, role_tool_cnt, k,
+         least(t + 60, (k + 1) * {d}) - greatest(t, k * {d}) AS ov
+  FROM m1, unnest(generate_series(
+         CAST(floor(t / {d}) AS BIGINT),
+         CAST(floor((t + 59) / {d}) AS BIGINT))) AS u(k)
+),
+g AS (
+  SELECT conv_id, k,
+         CAST(sum(v * ov) AS BIGINT) AS num,
+         CAST(sum(ov) AS BIGINT) AS w_sum,
+         CAST(sum(turn_cnt * ov) AS BIGINT) AS tw,
+         CAST(sum(role_user_cnt * ov) AS BIGINT) AS uw,
+         CAST(sum(role_assistant_cnt * ov) AS BIGINT) AS aw,
+         CAST(sum(role_tool_cnt * ov) AS BIGINT) AS ow
+  FROM x WHERE ov > 0 GROUP BY 1, 2
+)
+SELECT conv_id, to_timestamp(k * {d})::TIMESTAMP AS dst_ts,
+       round(num / 60.0, 6) AS tok_len_sum_resampled,
+       w_sum,
+       round(uw / CAST(tw AS DOUBLE), 6) AS frac_user,
+       round(aw / CAST(tw AS DOUBLE), 6) AS frac_assistant,
+       round(ow / CAST(tw AS DOUBLE), 6) AS frac_tool
+FROM g
+""".format(tp=_tp())
+
+
 # ------------------------------------------- formerly rows-only, now oracled
 
 def q_gapfill_idw_knn(spark, sf_dir) -> DataFrame:
@@ -2625,8 +2715,8 @@ QUERIES = {
     "evg_ntile_bins": (q_evg_ntile_bins, lambda: SQL_EVG_NTILE.format(tp=_tp(), cp=_cp())),
     "config_hash_groups": (q_config_hash_groups, lambda: SQL_CONFIG_HASH.format(tp=_tp())),
     "cumulative_turns": (q_cumulative_turns, lambda: SQL_CUMULATIVE_TURNS.format(tp=_tp())),
-    "ecdf_ranks": (q_ecdf_ranks, lambda: SQL_ECDF.format(tp=_tp(), cp=_cp())),
-    "ecdf_interp_lookup": (q_ecdf_interp_lookup, lambda: SQL_ECDF_INTERP.format(tp=_tp(), cp=_cp())),
+    "ecdf_suite": (q_ecdf_suite, lambda: _sql_ecdf_suite()),
+    "weighted_resample": (q_weighted_resample, lambda: _sql_weighted_resample()),
     "gapfill_idw_knn": (q_gapfill_idw_knn, lambda: SQL_GAPFILL_IDW_KNN.format(tp=_tp())),
     "gorilla_roundtrip": (q_gorilla_roundtrip, lambda: SQL_GORILLA_ROUNDTRIP.format(tp=_tp())),
     "simhash_near_dups": (q_simhash_near_dups, lambda: _sql_simhash_near_dups()),

@@ -129,3 +129,46 @@ def test_derived_metrics(spark):
     )
     mix = got[["role_user_mix", "role_assistant_mix", "role_tool_mix"]].sum(axis=1)
     assert np.allclose(mix, 1.0)
+
+
+def test_weighted_resample_exact_overlaps_and_mass_conservation(spark):
+    """A7/A8 analog: hand-computed 60s->90s overlap weights, per-role
+    weighted fractions, and exact mass conservation (integer-accumulated
+    contributions sum to the source total)."""
+    base = 1_700_000_040 - (1_700_000_040 % 90)  # 90-aligned epoch
+    rows = [
+        # (conv, t, tok_len_sum, turn_cnt, user, assistant, tool)
+        ("c1", base + 0, 120, 4, 2, 2, 0),    # fully inside dst k0
+        ("c1", base + 60, 90, 3, 3, 0, 0),    # splits 30/30 across k0/k1
+        ("c2", base + 90, 60, 2, 0, 1, 1),    # fully inside dst k1
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["conv_id", "t", "tok_len_sum", "turn_cnt",
+                 "role_user_cnt", "role_assistant_cnt", "role_tool_cnt"],
+    )
+    pdf["bucket_ts"] = pd.to_datetime(pdf.pop("t"), unit="s")
+    out = (
+        R.weighted_resample(spark.createDataFrame(pdf), src_secs=60, dst_secs=90)
+        .orderBy("conv_id", "dst_ts")
+        .toPandas()
+    )
+    k0, k1 = base, base + 90
+    got = {
+        (r.conv_id, int(r.dst_ts.timestamp())): r for r in out.itertuples()
+    }
+    # c1/k0: 120*60 + 90*30 = 9900 -> /60 = 165.0; w = 90
+    assert got[("c1", k0)].tok_len_sum_resampled == 165.0
+    assert got[("c1", k0)].w_sum == 90
+    # frac_user = (2*60 + 3*30) / (4*60 + 3*30) = 210/330
+    assert got[("c1", k0)].frac_user == round(210 / 330, 6)
+    # c1/k1: 90*30/60 = 45.0; w = 30; all-user bucket
+    assert got[("c1", k1)].tok_len_sum_resampled == 45.0
+    assert got[("c1", k1)].frac_user == 1.0
+    # c2/k1: aligned 60s inside 90s window
+    assert got[("c2", k1)].tok_len_sum_resampled == 60.0
+    assert got[("c2", k1)].frac_tool == 0.5
+    # mass conservation: sum of resampled values == sum of source values
+    assert out["tok_len_sum_resampled"].sum() == pdf["tok_len_sum"].sum()
+    # every source bucket contributes exactly src_secs of weight
+    assert out["w_sum"].sum() == 60 * len(pdf)

@@ -177,6 +177,42 @@ def derived_metrics(rollup: DataFrame) -> DataFrame:
     )
 
 
+def interval_intersections(
+    rollup: DataFrame,
+    src_secs: int,
+    dst_secs: int,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """J4/J10 analog — the cell-intersection JOIN under the resampler.
+
+    The reference's polygon x cell and raster x raster joins enumerate,
+    for every destination cell, the source cells it intersects and the
+    intersection measure (areas: rsmp/aa_ras_to_ras.py:1458-1953; polygon
+    variant J4). In one dimension the cells are time intervals: each src
+    bucket [t, t+src_secs) intersects destination buckets k with overlap
+    length ov = min(t+src, (k+1)dst) - max(t, k*dst) > 0. The candidate
+    set is computed CLOSED-FORM (floor bounds + sequence explode, at most
+    ceil(src/dst)+1 candidates per src row), so this is a pure projection
+    — the intersection "join" needs no join operator at all, the 1-D
+    payoff of the reference's window-overlap optimization
+    (rsmp/aa_ras_to_ras.py:1954-2011).
+
+    Output: (conv_id, _t src epoch, _k dst index, _ov overlap seconds,
+    *carry_cols)."""
+    t0 = F.unix_timestamp("bucket_ts")
+    k_lo = F.floor(t0 / F.lit(dst_secs)).cast("long")
+    k_hi = F.floor((t0 + F.lit(src_secs - 1)) / F.lit(dst_secs)).cast("long")
+    x = rollup.select(
+        "conv_id",
+        t0.alias("_t"),
+        *(carry_cols or []),
+        F.explode(F.sequence(k_lo, k_hi)).alias("_k"),
+    )
+    ov = F.least(F.col("_t") + src_secs, (F.col("_k") + 1) * dst_secs) - F.greatest(
+        F.col("_t"), F.col("_k") * dst_secs
+    )
+    return x.select("*", ov.alias("_ov")).where(F.col("_ov") > 0)
+
 def weighted_resample(
     rollup: DataFrame,
     src_secs: int,
@@ -205,20 +241,11 @@ def weighted_resample(
     Output: (conv_id, dst_ts, <value_col>_resampled, w_sum, frac_user,
     frac_assistant, frac_tool).
     """
-    t0 = F.unix_timestamp("bucket_ts")
-    k_lo = F.floor(t0 / F.lit(dst_secs)).cast("long")
-    k_hi = F.floor((t0 + F.lit(src_secs - 1)) / F.lit(dst_secs)).cast("long")
-    x = rollup.select(
-        "conv_id",
-        t0.alias("_t"),
-        F.col(value_col).alias("_v"),
-        "turn_cnt", "role_user_cnt", "role_assistant_cnt", "role_tool_cnt",
-        F.explode(F.sequence(k_lo, k_hi)).alias("_k"),
-    )
-    ov = F.least(F.col("_t") + src_secs, (F.col("_k") + 1) * dst_secs) - F.greatest(
-        F.col("_t"), F.col("_k") * dst_secs
-    )
-    x = x.select("*", ov.alias("_ov")).where(F.col("_ov") > 0)
+    x = interval_intersections(
+        rollup, src_secs, dst_secs,
+        carry_cols=[value_col, "turn_cnt", "role_user_cnt",
+                    "role_assistant_cnt", "role_tool_cnt"],
+    ).withColumnRenamed(value_col, "_v")
     g = x.groupBy("conv_id", "_k").agg(
         F.sum(F.col("_v") * F.col("_ov")).alias("_num"),
         F.sum("_ov").alias("w_sum"),

@@ -172,3 +172,26 @@ def test_weighted_resample_exact_overlaps_and_mass_conservation(spark):
     assert out["tok_len_sum_resampled"].sum() == pdf["tok_len_sum"].sum()
     # every source bucket contributes exactly src_secs of weight
     assert out["w_sum"].sum() == 60 * len(pdf)
+
+
+def test_interval_intersections_enumeration_is_exact(spark):
+    """J4/J10 analog: the closed-form candidate enumeration finds exactly
+    the intersecting (src, dst) interval pairs with exact overlap
+    lengths — verified against a brute-force python intersection join."""
+    ts = [0, 60, 120, 270, 300]  # 90-grid offsets: aligned + straddling
+    pdf = pd.DataFrame({"conv_id": "c", "t": ts})
+    pdf["bucket_ts"] = pd.to_datetime(pdf.pop("t"), unit="s")
+    got = (
+        R.interval_intersections(spark.createDataFrame(pdf), 60, 90)
+        .select("_t", "_k", "_ov").toPandas()
+        .sort_values(["_t", "_k"]).reset_index(drop=True)
+    )
+    want = []
+    for t in ts:
+        for k in range(0, 6):  # brute force over all nearby dst cells
+            ov = min(t + 60, (k + 1) * 90) - max(t, k * 90)
+            if ov > 0:
+                want.append((t, k, ov))
+    assert list(map(tuple, got.to_numpy())) == want
+    # every src interval's total overlap is its full width
+    assert got.groupby("_t")["_ov"].sum().eq(60).all()

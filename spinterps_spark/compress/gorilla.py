@@ -408,3 +408,58 @@ def decode_tier_chunks(chunks):
 # typing alias kept loose to avoid importing pyspark at module import in
 # numpy-only contexts (the oracle imports encode/decode functions directly).
 DataFrame_or_any = object
+
+
+def read_chunks_pruned(
+    spark,
+    path: str,
+    tier: str,
+    conv_ids: list[str] | None = None,
+    t_min=None,
+    t_max=None,
+    chunk_size: int = DEFAULT_CHUNK,
+):
+    """S3/S4 analog — selective cube read with coordinate/time selection.
+
+    The reference's netCDF sources open a gridded cube and gather values
+    at selected station indices / time slices (extract/*: coordinate
+    selection before the read materializes anything). The chunk-struct
+    table is the engine's cube: this read pushes BOTH selections below
+    the decode —
+
+    - conv_ids: an IN filter on the conv_id column (partition/row-group
+      pruning on a sorted or partitioned chunk table);
+    - [t_min, t_max]: chunk membership is a pure function of the row
+      (chunk key = floor(epoch / span), span = chunk_size x tier seconds,
+      so every point of a chunk lives in [k*span, (k+1)*span)). The range
+      filter therefore lands on chunk_start_ts — a plain comparison
+      parquet row-group stats can serve (PushedFilters, asserted in
+      pytest) — and only surviving chunks are ever DECODED.
+
+    Points are trimmed to the exact [t_min, t_max] bounds after decode
+    (a chunk straddling the edge contributes only its in-range points).
+    """
+    from pyspark.sql import functions as F
+
+    from spinterps_spark import TIER_SECONDS
+
+    span = chunk_size * TIER_SECONDS[tier]
+    chunks = spark.read.parquet(path)
+    if conv_ids is not None:
+        chunks = chunks.where(F.col("conv_id").isin(*conv_ids))
+    if t_min is not None:
+        # chunk holds points < (k+1)*span; keep chunks whose window ends
+        # after t_min: (floor(start/span)+1)*span > t_min  <=>
+        # start >= floor(t_min/span)*span (start is inside its window)
+        lo = (int(t_min) // span) * span
+        chunks = chunks.where(F.col("chunk_start_ts") >= F.timestamp_seconds(F.lit(lo)))
+    if t_max is not None:
+        chunks = chunks.where(
+            F.col("chunk_start_ts") <= F.timestamp_seconds(F.lit(int(t_max)))
+        )
+    out = decode_tier_chunks(chunks)
+    if t_min is not None:
+        out = out.where(F.unix_timestamp("bucket_ts") >= int(t_min))
+    if t_max is not None:
+        out = out.where(F.unix_timestamp("bucket_ts") <= int(t_max))
+    return out

@@ -130,3 +130,47 @@ def test_spark_chunk_roundtrip(spark):
     raw = 16 * len(pdf)
     enc = int((cp["ts_d2d"].str.len() + cp["vals_xor"].str.len()).sum()) + 24 * len(cp)
     assert enc < raw
+
+
+def test_read_chunks_pruned_selects_exactly_and_pushes_filters(spark, tmp_path):
+    """S3/S4 analog: the pruned cube read returns exactly the full
+    decode filtered to (conv, time-range), and the chunk_start_ts /
+    conv_id predicates reach the parquet scan (PushedFilters) so
+    non-matching chunks are never decoded."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spinterps_spark import datagen
+    from spinterps_spark.compress import gorilla as GZ
+    from spinterps_spark.operators import rollup as R
+
+    t = datagen.transcripts_spark(spark, seed=7, n_turns_target=4000)
+    h1 = R.rollup_tier(R.base_rollup(t, "1m"), "1h", min_cnt=1)
+    ser = h1.selectExpr("conv_id", "bucket_ts",
+                        "tok_len_sum / turn_cnt AS value")
+    chunks = GZ.encode_tier_chunks(ser, "1h", value_col="value")
+    path = str(tmp_path / "chunks")
+    chunks.write.parquet(path)
+
+    full = GZ.decode_tier_chunks(spark.read.parquet(path)).toPandas()
+    convs = sorted(full["conv_id"].unique())[:3]
+    ts = full["bucket_ts"].astype("int64") // 10**9
+    t_min = int(ts.quantile(0.25)); t_max = int(ts.quantile(0.75))
+
+    pruned = GZ.read_chunks_pruned(
+        spark, path, "1h", conv_ids=convs, t_min=t_min, t_max=t_max
+    )
+    got = pruned.toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    m = full["conv_id"].isin(convs) & (ts >= t_min) & (ts <= t_max)
+    want = full[m].sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "chunk_start_ts" in plan.split("PushedFilters", 1)[1][:400]

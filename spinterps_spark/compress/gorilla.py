@@ -444,14 +444,18 @@ def read_chunks_pruned(
     from spinterps_spark import TIER_SECONDS
 
     span = chunk_size * TIER_SECONDS[tier]
-    chunks = spark.read.parquet(path)
+    # the chunk table may hold several tiers (CHUNK_SCHEMA carries tier);
+    # span-based pruning is only valid for the requested one
+    chunks = spark.read.parquet(path).where(F.col("tier") == tier)
     if conv_ids is not None:
         chunks = chunks.where(F.col("conv_id").isin(*conv_ids))
     if t_min is not None:
-        # chunk holds points < (k+1)*span; keep chunks whose window ends
-        # after t_min: (floor(start/span)+1)*span > t_min  <=>
-        # start >= floor(t_min/span)*span (start is inside its window)
-        lo = (int(t_min) // span) * span
+        # chunk keys come from (epoch/span).cast('long'), which truncates
+        # toward zero — around epoch 0 a chunk window can be (-span, span),
+        # i.e. up to 2*span wide. One extra span of slack below the floor
+        # bound keeps the scan filter correct for ANY epoch sign; the
+        # exact >= t_min trim below drops the slack's points again.
+        lo = (int(t_min) // span) * span - span
         chunks = chunks.where(F.col("chunk_start_ts") >= F.timestamp_seconds(F.lit(lo)))
     if t_max is not None:
         chunks = chunks.where(

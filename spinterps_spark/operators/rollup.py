@@ -241,13 +241,16 @@ def weighted_resample(
     Output: (conv_id, dst_ts, <value_col>_resampled, w_sum, frac_user,
     frac_assistant, frac_tool).
     """
-    x = interval_intersections(
-        rollup, src_secs, dst_secs,
-        carry_cols=[value_col, "turn_cnt", "role_user_cnt",
-                    "role_assistant_cnt", "role_tool_cnt"],
-    ).withColumnRenamed(value_col, "_v")
+    # dict.fromkeys dedups: value_col may itself be one of the fixed
+    # carries (e.g. turn_cnt), which would otherwise duplicate the column
+    # and make the aggregate references ambiguous
+    carries = list(dict.fromkeys(
+        [value_col, "turn_cnt", "role_user_cnt",
+         "role_assistant_cnt", "role_tool_cnt"]
+    ))
+    x = interval_intersections(rollup, src_secs, dst_secs, carry_cols=carries)
     g = x.groupBy("conv_id", "_k").agg(
-        F.sum(F.col("_v") * F.col("_ov")).alias("_num"),
+        F.sum(F.col(value_col) * F.col("_ov")).alias("_num"),
         F.sum("_ov").alias("w_sum"),
         F.sum(F.col("turn_cnt") * F.col("_ov")).alias("_tw"),
         F.sum(F.col("role_user_cnt") * F.col("_ov")).alias("_uw"),

@@ -1723,7 +1723,7 @@ g AS (
          CAST(sum(role_tool_cnt * ov) AS BIGINT) AS ow
   FROM x WHERE ov > 0 GROUP BY 1, 2
 )
-SELECT conv_id, to_timestamp(k * {d})::TIMESTAMP AS dst_ts,
+SELECT conv_id, make_timestamp(k * {d} * 1000000) AS dst_ts,
        round(num / 60.0, 6) AS tok_len_sum_resampled,
        w_sum,
        round(uw / CAST(tw AS DOUBLE), 6) AS frac_user,

@@ -174,3 +174,30 @@ def test_read_chunks_pruned_selects_exactly_and_pushes_filters(spark, tmp_path):
     plan = buf.getvalue()
     assert "PushedFilters" in plan
     assert "chunk_start_ts" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_read_chunks_pruned_filters_tier_in_mixed_table(spark, tmp_path):
+    """Review r5: a chunk table holding SEVERAL tiers (CHUNK_SCHEMA carries
+    tier) must return only the requested tier from the pruned read."""
+    from spinterps_spark import datagen
+    from spinterps_spark.compress import gorilla as GZ
+    from spinterps_spark.operators import rollup as R
+
+    t = datagen.transcripts_spark(spark, seed=7, n_turns_target=2000)
+    path = str(tmp_path / "chunks")
+    for tier in ("1m", "1h"):
+        r = R.rollup_tier(R.base_rollup(t, "1m"), tier, min_cnt=1) \
+            if tier != "1m" else R.base_rollup(t, "1m")
+        ser = r.selectExpr("conv_id", "bucket_ts",
+                           "tok_len_sum / turn_cnt AS value")
+        GZ.encode_tier_chunks(ser, tier, value_col="value").write.mode(
+            "append"
+        ).parquet(path)
+    out = GZ.read_chunks_pruned(spark, path, "1h").toPandas()
+    assert set(out["tier"]) == {"1h"}
+    want = (
+        GZ.decode_tier_chunks(
+            spark.read.parquet(path).where("tier = '1h'")
+        ).count()
+    )
+    assert len(out) == want

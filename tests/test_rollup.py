@@ -195,3 +195,18 @@ def test_interval_intersections_enumeration_is_exact(spark):
     assert list(map(tuple, got.to_numpy())) == want
     # every src interval's total overlap is its full width
     assert got.groupby("_t")["_ov"].sum().eq(60).all()
+
+
+def test_weighted_resample_value_col_can_be_a_fixed_carry(spark):
+    """Review r5: value_col colliding with an always-carried column
+    (turn_cnt) must not duplicate the carry and break the aggregate."""
+    pdf = pd.DataFrame({
+        "conv_id": ["c"], "t": [0], "tok_len_sum": [10], "turn_cnt": [4],
+        "role_user_cnt": [2], "role_assistant_cnt": [2], "role_tool_cnt": [0],
+    })
+    pdf["bucket_ts"] = pd.to_datetime(pdf.pop("t"), unit="s")
+    out = R.weighted_resample(
+        spark.createDataFrame(pdf), 60, 90, value_col="turn_cnt"
+    ).toPandas()
+    assert out["turn_cnt_resampled"].iloc[0] == 4.0
+    assert out["frac_user"].iloc[0] == 0.5

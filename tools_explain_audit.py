@@ -194,6 +194,17 @@ def main():
     sections.append(("Corpus curation stage (r5: semi join + pure projections, wave-decomposable)", p16,
                      ["LeftSemi", "regexp_replace", "Scan parquet"]))
 
+    # r5: overlap-weighted resample (A7/A8 analog) — the cell-intersection
+    # "join" is a closed-form enumeration (sequence explode), so the whole
+    # operator is Generate + two-phase aggregate on (conv, dst bucket):
+    # zero join nodes, the tier-cascade shuffle shape.
+    p17 = plan_of(R.weighted_resample(R.base_rollup(tr, "1m"), 60, 90))
+    n_joins17 = len(re.findall(r"Join", p17))
+    p17 = (f"(join nodes: {n_joins17} — must be 0; intersection candidates "
+           f"are enumerated closed-form)\n") + p17
+    sections.append(("Overlap-weighted resample (r5: closed-form intersections, no joins)", p17,
+                     ["Generate", "HashAggregate", "join nodes: 0"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

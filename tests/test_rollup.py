@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pytest
 
 from spinterps_spark import METRIC_COLS, TIER_SECONDS, datagen
 from spinterps_spark.operators import rollup as R
@@ -210,3 +211,50 @@ def test_weighted_resample_value_col_can_be_a_fixed_carry(spark):
     ).toPandas()
     assert out["turn_cnt_resampled"].iloc[0] == 4.0
     assert out["frac_user"].iloc[0] == 0.5
+
+
+@pytest.mark.parametrize("dst_secs", [45, 90, 150])
+def test_weighted_resample_matches_bruteforce(spark, dst_secs):
+    """Randomized parity vs an independent pandas brute-force resampler,
+    across dst widths finer and coarser than the source (45 < 60 < 150):
+    exact integer accumulation must agree on every (conv, dst) cell."""
+    rng = np.random.RandomState(dst_secs)
+    n = 60
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    pdf = pd.DataFrame({
+        "conv_id": rng.choice(["a", "b", "c"], n),
+        "t": base + 60 * rng.choice(np.arange(0, 240), n, replace=False),
+        "tok_len_sum": rng.randint(1, 500, n),
+        "turn_cnt": rng.randint(1, 9, n),
+    })
+    pdf["role_user_cnt"] = rng.randint(0, pdf["turn_cnt"] + 1)
+    pdf["role_assistant_cnt"] = pdf["turn_cnt"] - pdf["role_user_cnt"]
+    pdf["role_tool_cnt"] = 0
+    spdf = pdf.copy()
+    spdf["bucket_ts"] = pd.to_datetime(spdf.pop("t"), unit="s")
+    got = (
+        R.weighted_resample(spark.createDataFrame(spdf), 60, dst_secs)
+        .toPandas().set_index(["conv_id", "dst_ts"]).sort_index()
+    )
+
+    acc = {}
+    for r in pdf.itertuples(index=False):
+        k = r.t // dst_secs
+        while k * dst_secs < r.t + 60:
+            ov = min(r.t + 60, (k + 1) * dst_secs) - max(r.t, k * dst_secs)
+            if ov > 0:
+                a = acc.setdefault((r.conv_id, k), [0, 0, 0, 0, 0, 0])
+                a[0] += r.tok_len_sum * ov
+                a[1] += ov
+                a[2] += r.turn_cnt * ov
+                a[3] += r.role_user_cnt * ov
+                a[4] += r.role_assistant_cnt * ov
+                a[5] += r.role_tool_cnt * ov
+            k += 1
+    assert len(got) == len(acc)
+    for (conv, k), (num, w, tw, uw, aw, ow) in acc.items():
+        row = got.loc[(conv, pd.Timestamp(k * dst_secs, unit="s"))]
+        assert row["tok_len_sum_resampled"] == round(num / 60.0, 6)
+        assert row["w_sum"] == w
+        assert row["frac_user"] == round(uw / tw, 6)
+        assert row["frac_assistant"] == round(aw / tw, 6)

@@ -450,6 +450,18 @@ def read_chunks_pruned(
     if conv_ids is not None:
         chunks = chunks.where(F.col("conv_id").isin(*conv_ids))
     if t_min is not None:
+        # the chunk table does not record its encode-time chunk_size, and
+        # pruning with a WRONG span silently drops in-range chunks (review
+        # r5). max(n) > claimed size proves the claim wrong (a chunk never
+        # holds more than chunk_size points), so fail loudly on the
+        # detectable case instead of returning a silently short read.
+        mx = chunks.agg(F.max("n")).first()[0]
+        if mx is not None and mx > chunk_size:
+            raise ValueError(
+                f"read_chunks_pruned: table holds chunks with n={mx} points "
+                f"> claimed chunk_size={chunk_size} — the encode-time "
+                "chunk_size was larger; pass the size used at encode time"
+            )
         # chunk keys come from (epoch/span).cast('long'), which truncates
         # toward zero — around epoch 0 a chunk window can be (-span, span),
         # i.e. up to 2*span wide. One extra span of slack below the floor

@@ -201,3 +201,29 @@ def test_read_chunks_pruned_filters_tier_in_mixed_table(spark, tmp_path):
         ).count()
     )
     assert len(out) == want
+
+
+def test_read_chunks_pruned_rejects_wrong_chunk_size_claim(spark, tmp_path):
+    """Review r5: pruning with a smaller span than the encode-time one
+    would silently drop in-range chunks; the detectable case (a chunk
+    holding more points than the claimed size) must raise."""
+    import pytest
+
+    from spinterps_spark.compress import gorilla as GZ
+
+    n = 200
+    pdf = pd.DataFrame({
+        "conv_id": "c",
+        "bucket_ts": pd.to_datetime(np.arange(n) * 3600, unit="s"),
+        "value_filled": np.arange(n, dtype="float64"),
+    })
+    chunks = GZ.encode_tier_chunks(
+        spark.createDataFrame(pdf), "1h", chunk_size=180
+    )
+    path = str(tmp_path / "chunks")
+    chunks.write.parquet(path)
+    with pytest.raises(ValueError, match="chunk_size"):
+        GZ.read_chunks_pruned(spark, path, "1h", t_min=0, chunk_size=120)
+    # correct claim works
+    out = GZ.read_chunks_pruned(spark, path, "1h", t_min=0, chunk_size=180)
+    assert out.count() == n

@@ -98,7 +98,8 @@ def main():
     # ratio vs the raw 16 B/point (8 B epoch + 8 B float64) and decode
     # throughput, measured on the 1m chunk table the headline pass just
     # wrote. Encoded size counts the real per-chunk overhead too
-    # (first_ts 8 B + first_val 8 B + n 4 B), not just the bitstreams.
+    # (first_ts 8 B + first_val 8 B + n 4 B + chunk_size 4 B), not just
+    # the bitstreams.
     from pyspark.sql import functions as F
 
     from spinterps_spark.compress.gorilla import decode_tier_chunks
@@ -107,7 +108,7 @@ def main():
     gstats = chunks.agg(
         F.sum("n").alias("pts"),
         F.sum(
-            F.length("ts_d2d") + F.length("vals_xor") + F.lit(20)
+            F.length("ts_d2d") + F.length("vals_xor") + F.lit(24)
         ).alias("enc_bytes"),
     ).collect()[0]
     if gstats["pts"]:  # sum() is NULL over an empty chunk table

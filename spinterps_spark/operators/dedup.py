@@ -101,7 +101,15 @@ def lsh_candidate_pairs(
 
     `max_bucket` is the stop-key cap (VERDICT r4 next-step #2, the same
     remedy winnow_candidates ships) over (band, minhash) buckets — see
-    cap_buckets."""
+    cap_buckets.
+
+    RECALL TRADEOFF (ADVICE r5): capping drops a doc's signature row only
+    in the capped band, so every surviving pair that shared that bucket
+    loses one band agreement from its n_bands count. A genuine near-dup
+    pair whose agreements include a boilerplate band can fall below
+    min_bands and be silently lost. Tune min_bands with this in mind
+    (e.g. min_bands=2 of 16 bands tolerates one capped band per pair), or
+    leave max_bucket=None when recall matters more than bounded fan-out."""
     f = cap_buckets(sig, ["band", "minhash"], max_bucket)
     a, b = f.alias("a"), f.alias("b")
     return (

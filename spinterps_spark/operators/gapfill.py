@@ -595,6 +595,7 @@ def gapfill(
                 filled[keep],
                 tier,
                 gorilla_chunk * secs,
+                gorilla_chunk,
             )
         return pd.DataFrame(
             {
@@ -613,9 +614,13 @@ def gapfill(
     return apply_grouped_batches(df, group_cols, "_t", fill_batch, out_schema)
 
 
-def _encode_filled(conv_arr, t_arr, v_arr, tier: str, span: int) -> pd.DataFrame:
+def _encode_filled(conv_arr, t_arr, v_arr, tier: str, span: int,
+                   chunk_size: int) -> pd.DataFrame:
     """Gorilla-encode filled (conv-sorted, time-sorted) arrays into
-    time-aligned chunk rows (fused fill+encode path)."""
+    time-aligned chunk rows (fused fill+encode path). chunk_size is the
+    encode-time points-per-chunk setting (span == chunk_size * tier
+    seconds), stamped into every row so pruned reads derive the span from
+    the table (compress/gorilla.CHUNK_SCHEMA)."""
     from spinterps_spark.compress.gorilla import encode_chunk
 
     n = len(conv_arr)
@@ -643,8 +648,10 @@ def _encode_filled(conv_arr, t_arr, v_arr, tier: str, span: int) -> pd.DataFrame
     out.insert(1, "tier", tier)
     out.insert(2, "chunk_start_ts", pd.to_datetime(
         np.asarray(cols["first_ts"], dtype="int64"), unit="s"))
+    out["chunk_size"] = np.int32(chunk_size)
     return out[["conv_id", "tier", "chunk_start_ts", "n",
-                "first_ts", "first_val", "ts_d2d", "vals_xor"]]
+                "first_ts", "first_val", "ts_d2d", "vals_xor",
+                "chunk_size"]]
 
 
 def gapfill_virtual_chunks(
@@ -789,13 +796,14 @@ def gapfill_virtual_chunks(
             return _encode_filled(np.array([], dtype=object),
                                   np.array([], dtype=np.int64),
                                   np.array([], dtype=np.float64),
-                                  tier, gorilla_chunk * secs)
+                                  tier, gorilla_chunk * secs, gorilla_chunk)
         return _encode_filled(
             np.concatenate(out_conv),
             np.concatenate(out_t),
             np.concatenate(out_v),
             tier,
             gorilla_chunk * secs,
+            gorilla_chunk,
         )
 
     return apply_grouped_batches(df, ["conv_id", "_chunk"], "_t", fill_batch, CHUNK_SCHEMA)

@@ -47,6 +47,12 @@ class CheckpointLog:
         self._done: set[tuple[str, str, int]] | None = None
 
     def read(self) -> DataFrame:
+        # existence check FIRST: letting spark.read raise PATH_NOT_FOUND on
+        # every fresh run logs a JVM stack trace to stderr that pollutes the
+        # bench evidence chain (VERDICT r5 what's-wrong #1; same pattern as
+        # ParquetTierTables.snapshots, sources/tableformat.py)
+        if not os.path.isdir(self.dir):
+            return self.spark.createDataFrame([], CKPT_SCHEMA)
         try:
             return self.spark.read.schema(CKPT_SCHEMA).parquet(self.dir)
         except Exception:

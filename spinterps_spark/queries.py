@@ -959,19 +959,17 @@ def q_corpus_pipeline(spark, sf_dir) -> DataFrame:
     write/read path, not just a logical plan. The DuckDB twin recomputes
     selection + annotations + the redaction cascade independently from the
     raw documents table."""
-    import shutil
+    import os
     import tempfile
 
     from spinterps_spark.plans.corpus import run_corpus_pipeline
 
-    import os
-
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spinterps_corpus_q",
-        sf_dir.strip("/").replace("/", "_"),
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    # per-invocation scratch dir (ADVICE r5): a fixed shared path raced
+    # under concurrent invocations on the same sf_dir (pytest-xdist,
+    # parallel drivers) — one run rmtree'd the other's in-flight waves.
+    # mkdtemp is unique per call; the result DataFrame reads from it
+    # lazily, so the dir is left for OS tmp cleanup rather than deleted.
+    base = tempfile.mkdtemp(prefix="spinterps_corpus_q_")
     docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
     run_corpus_pipeline(spark, docs.select("doc_id", "text"), base,
                         dedup_mode="exact", n_waves=2,
@@ -1789,24 +1787,72 @@ FROM normed GROUP BY conv_id, bucket_ts
 
 
 def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
-    """Gorilla encode->decode roundtrip, oracled on VALUES: the decoded
-    series must equal the SQL-computed source series bit-for-bit (the codec
-    is an exact inverse), not just count matches (VERDICT r1 next-step #1)."""
-    from spinterps_spark.compress.gorilla import decode_tier_chunks, encode_tier_chunks
+    """Gorilla composite, oracled on VALUES (codec is an exact inverse):
+
+    - leg 'full': encode -> write parquet -> read back -> decode; the
+      decoded series must equal the SQL-computed source bit-for-bit
+      (VERDICT r1 next-step #1, upgraded r6 to roundtrip through real
+      parquet binary IO, not just an in-plan encode/decode).
+    - leg 'pruned' (VERDICT r5 next-step #1, the S3/S4 driver-gate row):
+      read_chunks_pruned over the SAME written table with a deterministic
+      conv subset (md5 prefix < '4') and the middle [12.5%, 75%] time slice
+      — conv IN + chunk_start_ts range land on the parquet scan BELOW the
+      decode; the DuckDB twin filters the recomputed source identically.
+    """
+    import tempfile
+
+    from spinterps_spark.compress.gorilla import (
+        decode_tier_chunks, encode_tier_chunks, read_chunks_pruned)
 
     h1 = R.rollup_tier(R.base_rollup(_t(spark, sf_dir), "1m"), "1h", min_cnt=1)
     ser = h1.select(
         "conv_id", "bucket_ts",
         (F.col("tok_len_sum") / F.col("turn_cnt")).alias("value_filled"),
     )
-    chunks = encode_tier_chunks(ser, "1h")
-    return decode_tier_chunks(chunks).select("conv_id", "bucket_ts", "value")
+    path = tempfile.mkdtemp(prefix="spinterps_gorilla_q_") + "/chunks"
+    encode_tier_chunks(ser, "1h").write.parquet(path)
+
+    # deterministic prune bounds, recomputable by the SQL twin: epoch-second
+    # min/max of the series, slice = [mn + (mx-mn)//4, mn + (mx-mn)//2]
+    b = ser.agg(
+        F.min(F.unix_timestamp("bucket_ts")).alias("mn"),
+        F.max(F.unix_timestamp("bucket_ts")).alias("mx"),
+    ).first()
+    t_lo = b.mn + (b.mx - b.mn) // 8
+    t_hi = b.mn + (b.mx - b.mn) * 3 // 4
+    convs = [
+        r[0]
+        for r in ser.select("conv_id").distinct()
+        .where(F.substring(F.md5("conv_id"), 1, 1) < "4").collect()
+    ]
+    full = decode_tier_chunks(_utc(spark).read.parquet(path))
+    pruned = read_chunks_pruned(spark, path, "1h",
+                                conv_ids=convs, t_min=t_lo, t_max=t_hi)
+    return full.select(
+        F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
+    ).unionAll(pruned.select(
+        F.lit("pruned").alias("leg"), "conv_id", "bucket_ts", "value"
+    ))
 
 
 SQL_GORILLA_ROUNDTRIP = (
     _SQL_H1
     + """
-SELECT conv_id, bucket_ts, s2 / CAST(s1 AS DOUBLE) AS value FROM h1p
+, fulls AS (
+  SELECT conv_id, bucket_ts, s2 / CAST(s1 AS DOUBLE) AS value FROM h1p
+),
+b AS (
+  SELECT min(CAST(epoch(bucket_ts) AS BIGINT)) AS mn,
+         max(CAST(epoch(bucket_ts) AS BIGINT)) AS mx
+  FROM fulls
+)
+SELECT 'full' AS leg, conv_id, bucket_ts, value FROM fulls
+UNION ALL
+SELECT 'pruned' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE substring(md5(conv_id), 1, 1) < '4'
+  AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 8
+  AND CAST(epoch(bucket_ts) AS BIGINT) <= mn + (mx - mn) * 3 // 4
 """
 )
 

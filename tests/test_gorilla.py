@@ -203,18 +203,20 @@ def test_read_chunks_pruned_filters_tier_in_mixed_table(spark, tmp_path):
     assert len(out) == want
 
 
-def test_read_chunks_pruned_rejects_wrong_chunk_size_claim(spark, tmp_path):
-    """Review r5: pruning with a smaller span than the encode-time one
-    would silently drop in-range chunks; the detectable case (a chunk
-    holding more points than the claimed size) must raise."""
-    import pytest
-
+def test_read_chunks_pruned_derives_span_from_table(spark, tmp_path):
+    """VERDICT r5 #1 / ADVICE r5: the encode-time chunk_size travels with
+    the data (CHUNK_SCHEMA column), so the pruned read derives its span
+    from the table — no caller claim to get wrong. The adversarial case
+    the old max(n) guard missed — every chunk UNDERFILLED (sparse series,
+    n far below chunk_size) — must still read exactly."""
     from spinterps_spark.compress import gorilla as GZ
 
-    n = 200
+    # sparse series: 1 point every 50 hours -> every chunk_size=180 chunk
+    # holds ~4 points, so ANY wrong-span claim would have been undetectable
+    n = 40
     pdf = pd.DataFrame({
         "conv_id": "c",
-        "bucket_ts": pd.to_datetime(np.arange(n) * 3600, unit="s"),
+        "bucket_ts": pd.to_datetime(np.arange(n) * 50 * 3600, unit="s"),
         "value_filled": np.arange(n, dtype="float64"),
     })
     chunks = GZ.encode_tier_chunks(
@@ -222,8 +224,72 @@ def test_read_chunks_pruned_rejects_wrong_chunk_size_claim(spark, tmp_path):
     )
     path = str(tmp_path / "chunks")
     chunks.write.parquet(path)
+    cp = spark.read.parquet(path).toPandas()
+    assert (cp["chunk_size"] == 180).all()
+    assert (cp["n"] < 180).all()  # underfilled: the old guard was blind here
+
+    t_min = int(pdf["bucket_ts"].astype("int64").quantile(0.3)) // 10**9
+    t_max = int(pdf["bucket_ts"].astype("int64").quantile(0.9)) // 10**9
+    out = (
+        GZ.read_chunks_pruned(spark, path, "1h", t_min=t_min, t_max=t_max)
+        .toPandas().sort_values("bucket_ts").reset_index(drop=True)
+    )
+    ts = pdf["bucket_ts"].astype("int64") // 10**9
+    want = pdf[(ts >= t_min) & (ts <= t_max)].reset_index(drop=True)
+    assert len(out) == len(want) > 0
+    assert (out["bucket_ts"].to_numpy() == want["bucket_ts"].to_numpy()).all()
+    assert (out["value"].to_numpy() == want["value_filled"].to_numpy()).all()
+
+
+def test_read_chunks_pruned_mixed_encode_sizes(spark, tmp_path):
+    """A table appended under DIFFERENT encode-time chunk_sizes still reads
+    correctly: max(chunk_size) gives the loosest (superset) scan bound and
+    the exact trim restores the range."""
+    from spinterps_spark.compress import gorilla as GZ
+
+    n = 300
+    path = str(tmp_path / "chunks")
+    pdfs = []
+    for conv, size in (("a", 120), ("b", 240)):
+        pdf = pd.DataFrame({
+            "conv_id": conv,
+            "bucket_ts": pd.to_datetime(np.arange(n) * 3600, unit="s"),
+            "value_filled": np.arange(n, dtype="float64") + (size / 10.0),
+        })
+        pdfs.append(pdf)
+        GZ.encode_tier_chunks(
+            spark.createDataFrame(pdf), "1h", chunk_size=size
+        ).write.mode("append").parquet(path)
+    allp = pd.concat(pdfs, ignore_index=True)
+    t_min, t_max = 100 * 3600, 200 * 3600
+    out = (
+        GZ.read_chunks_pruned(spark, path, "1h", t_min=t_min, t_max=t_max)
+        .toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    ts = allp["bucket_ts"].astype("int64") // 10**9
+    want = allp[(ts >= t_min) & (ts <= t_max)].sort_values(
+        ["conv_id", "bucket_ts"]).reset_index(drop=True)
+    assert len(out) == len(want) > 0
+    assert (out["value"].to_numpy() == want["value_filled"].to_numpy()).all()
+
+
+def test_read_chunks_pruned_legacy_table_raises(spark, tmp_path):
+    """A pre-r6 table (no chunk_size column) cannot be span-pruned safely;
+    a time-ranged read must raise loudly, not silently over-prune."""
+    import pytest
+
+    from spinterps_spark.compress import gorilla as GZ
+
+    pdf = pd.DataFrame({
+        "conv_id": "c",
+        "bucket_ts": pd.to_datetime(np.arange(10) * 3600, unit="s"),
+        "value_filled": np.arange(10, dtype="float64"),
+    })
+    legacy = GZ.encode_tier_chunks(spark.createDataFrame(pdf), "1h") \
+        .drop("chunk_size")
+    path = str(tmp_path / "chunks")
+    legacy.write.parquet(path)
     with pytest.raises(ValueError, match="chunk_size"):
-        GZ.read_chunks_pruned(spark, path, "1h", t_min=0, chunk_size=120)
-    # correct claim works
-    out = GZ.read_chunks_pruned(spark, path, "1h", t_min=0, chunk_size=180)
-    assert out.count() == n
+        GZ.read_chunks_pruned(spark, path, "1h", t_min=0).count()
+    # untimed reads (no span needed) still work on legacy tables
+    assert GZ.read_chunks_pruned(spark, path, "1h").count() == 10

@@ -26,6 +26,8 @@ import sys
 def _spark(app: str):
     from pyspark.sql import SparkSession
 
+    from spinterps_spark.session import quiet_noisy_loggers
+
     spark = (
         SparkSession.builder.appName(app)
         .config("spark.sql.session.timeZone", "UTC")
@@ -34,6 +36,7 @@ def _spark(app: str):
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    quiet_noisy_loggers(spark)
     return spark
 
 
@@ -285,6 +288,22 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_retention(args) -> int:
+    """Age fine-tier chunks out past --horizon (epoch seconds): surviving
+    chunks are rewritten copy-on-write into a new generation and published
+    with one snapshot commit; old points remain readable only from the
+    coarser tiers (plans/retention.py)."""
+    from spinterps_spark.plans.retention import run_retention_pass
+
+    spark = _spark("spinterps_spark.retention")
+    metrics = run_retention_pass(
+        spark, args.out, args.tier, args.horizon,
+        run_id=args.resume, n_waves=args.waves,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spinterps_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -406,6 +425,19 @@ def main(argv=None) -> int:
     c.add_argument("--algorithm", default="minlabel",
                    choices=["minlabel", "star"])
     c.set_defaults(fn=cmd_corpus)
+
+    rt = sub.add_parser(
+        "retention",
+        help="age fine-tier chunks out past a horizon (copy-on-write "
+             "rewrite + one snapshot commit; resumable via --resume)")
+    rt.add_argument("--out", required=True,
+                    help="pipeline out_dir holding chunks/tier=<t>")
+    rt.add_argument("--tier", default="1m")
+    rt.add_argument("--horizon", required=True, type=int,
+                    help="epoch seconds; chunks wholly before this are dropped")
+    rt.add_argument("--waves", type=int, default=4)
+    rt.add_argument("--resume", default=None, help="run_id to resume")
+    rt.set_defaults(fn=cmd_retention)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,149 @@
+"""Retention: age fine-tier chunks out past a horizon (north-rule third leg).
+
+Tier COEXISTENCE (1m/1h/1d all written) was already in place; this pass
+completes the retention story: points older than a horizon are dropped from
+the fine tier's Gorilla chunk table and remain readable only from the
+coarser tiers — the classic downsample-then-expire layout of a time-series
+store.
+
+Spark-first mechanics (reference analog: the lock-serialized incremental
+netCDF rewrite/restart unit, interp/steps.py:895-949, which lets a crashed
+run keep completed work):
+
+- the pass is COPY-ON-WRITE, like an Iceberg rewrite: surviving chunks are
+  written to a NEW generation directory via the checkpointed wave machinery
+  (plans/checkpoint.run_waved_pass — per-wave lineage rows, resumable after
+  executor loss), then ONE metadata commit publishes the new generation in
+  the chunk table's snapshot log (sources/tableformat.py). Readers that go
+  through `read_tier_chunks` flip atomically at the commit; a crash before
+  the commit leaves the previous generation fully readable.
+- the keep/drop predicate needs NO decode: chunk windows are pure functions
+  of the row. A chunk with key k = floor(first_ts / span) holds only points
+  in [k*span, (k+1)*span), span = chunk_size * tier_seconds, and the
+  encode-time chunk_size is stamped ON the row (compress/gorilla.
+  CHUNK_SCHEMA), so `window_end <= horizon` proves every point in the chunk
+  is strictly older than the horizon. Chunks STRADDLING the horizon are
+  kept whole (standard TSDB behavior: retention resolution = one chunk
+  window; no chunk is ever re-encoded).
+
+100-TB scale: one columnar scan of the fine tier's chunk table (binary
+payloads move, nothing is decoded), embarrassingly parallel, no shuffle
+except the wave-partitioned write; the published commit is metadata-only.
+At 1000 executors this is a pure IO-bound rewrite bounded by the retained
+fraction.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from spinterps_spark import TIER_SECONDS
+from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
+from spinterps_spark.sources.tableformat import tier_tables
+
+
+def _window_end(tier: str):
+    """Exclusive end of a chunk's time window, from row columns alone.
+
+    floor() (not the encoder's toward-zero cast) so the bound is correct
+    for negative epochs too: floor(first_ts/span) <= first_ts/span always,
+    making window_end an upper bound for every point in the chunk. For
+    toward-zero-keyed chunks left of epoch 0 the true window may start one
+    span earlier; the end computed here is still >= the chunk's last point,
+    which is the only direction retention's `window_end <= horizon` proof
+    needs."""
+    span = F.col("chunk_size").cast("long") * F.lit(TIER_SECONDS[tier])
+    return (F.floor(F.col("first_ts") / span) + 1) * span
+
+
+def run_retention_pass(
+    spark,
+    out_dir: str,
+    tier: str,
+    horizon_ts: int,
+    run_id: str | None = None,
+    n_waves: int = 4,
+    table_format=None,
+    one_pass: bool = True,
+) -> dict:
+    """Drop every chunk of `chunks/tier=<tier>` whose whole window lies
+    before `horizon_ts` (epoch seconds); publish the retained generation.
+
+    Resumable at two levels, mirroring run_retention_pipeline:
+    - snapshot-summary resume: same (run_id, stage) already committed ->
+      whole pass skipped (zero jobs);
+    - wave resume: a crash mid-rewrite re-runs only the waves whose
+      lineage rows are missing.
+
+    Returns a metrics dict (chunks/points kept and dropped, wall time,
+    commit id or 'skipped').
+    """
+    run_id = run_id or new_run_id()
+    t0 = time.time()
+    stage = f"retention:{tier}"
+    fmt = table_format or tier_tables(spark, os.path.join(out_dir, "chunks"))
+    ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
+
+    if fmt.committed(run_id, stage):
+        return {"run_id": run_id, "tier": tier, "commit": "skipped",
+                "wall_sec": time.time() - t0}
+
+    src = spark.read.parquet(os.path.join(out_dir, f"chunks/tier={tier}", "wave=*"))
+    if "chunk_size" not in src.columns:
+        raise ValueError(
+            f"retention: chunk table for tier={tier} lacks the chunk_size "
+            "column (pre-r6 encoder?) — window bounds cannot be derived"
+        )
+    keep_pred = _window_end(tier) > F.lit(int(horizon_ts))
+
+    # lineage metrics for the commit row: how much is aged out (one
+    # columnar aggregate over int columns, no binary movement)
+    stats = src.select(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("n").alias("p_all"),
+        F.count(F.when(keep_pred, 1)).alias("c_keep"),
+        F.sum(F.when(keep_pred, F.col("n"))).alias("p_keep"),
+    ).first()
+
+    # deterministic generation path: resume with the same run_id lands in
+    # the same directory, so done waves are genuinely reusable
+    gen_loc = os.path.join(out_dir, f"chunks_retained/tier={tier}/gen={run_id}")
+    retained = run_waved_pass(
+        spark, src.where(keep_pred), lambda sub: sub, gen_loc,
+        ckpt, run_id, stage, n_waves=n_waves, one_pass=one_pass,
+    )
+    commit_id = fmt.commit_tier(
+        tier, retained, gen_loc,
+        {
+            "run_id": run_id, "stage": stage,
+            "horizon_ts": int(horizon_ts),
+            "chunks_total": int(stats.c_all or 0),
+            "chunks_kept": int(stats.c_keep or 0),
+            "points_total": int(stats.p_all or 0),
+            "points_kept": int(stats.p_keep or 0),
+        },
+    )
+    return {
+        "run_id": run_id, "tier": tier, "commit": commit_id,
+        "chunks_total": int(stats.c_all or 0),
+        "chunks_kept": int(stats.c_keep or 0),
+        "points_total": int(stats.p_all or 0),
+        "points_kept": int(stats.p_keep or 0),
+        "wall_sec": time.time() - t0,
+    }
+
+
+def read_tier_chunks(spark, out_dir: str, tier: str):
+    """Current chunk table for a tier: the latest retained generation if a
+    retention pass has been committed, else the pipeline's original chunk
+    directory. This is the reader the atomic commit flip protects."""
+    fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
+    snaps = [s for s in fmt.snapshots() if s.get("tier") == tier]
+    if snaps:
+        return spark.read.parquet(
+            os.path.join(snaps[-1]["data_location"], "wave=*")
+        )
+    return spark.read.parquet(os.path.join(out_dir, f"chunks/tier={tier}", "wave=*"))

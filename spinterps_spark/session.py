@@ -77,4 +77,22 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quiet_noisy_loggers(spark)
     return spark
+
+
+def quiet_noisy_loggers(spark) -> None:
+    """FileStreamSink logs a WARN **with a full FileNotFoundException stack
+    trace** on every batch read of a glob path (its streaming-sink metadata
+    probe treats the unexpanded `wave=*` as a literal file). Every waved
+    read trips it, polluting bench/driver stderr with stack traces that
+    read like failures (VERDICT r5 what's-wrong #1). Demote that one
+    logger; real errors still surface at ERROR."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # connect-mode / no JVM access: cosmetic only

@@ -79,8 +79,7 @@ def cmd_rollup(args) -> int:
         n_waves=args.waves,
         run_id=args.resume,
         fill_knobs={"chunk_buckets": args.chunk_buckets, "pad_buckets": args.pad_buckets},
-        # --drift implies the materialized fill path (per its help text)
-        fuse_fill_and_chunks=not (args.materialize_filled or args.drift),
+        fuse_fill_and_chunks=not args.materialize_filled,
         iceberg_table=args.iceberg_table,
         drift=drift,
         drift_cols=drift_cols,
@@ -333,7 +332,8 @@ def main(argv=None) -> int:
                    "parquet+snapshot-sidecar seam")
     r.add_argument("--drift", default=None,
                    help="parquet of (conv_id, bucket_ts, <drift cols>) EDK "
-                   "covariates; implies --materialize-filled")
+                   "covariates; rides the fused virtual-spine path unless "
+                   "--materialize-filled")
     r.add_argument("--drift-cols", default=None,
                    help="comma-separated drift column names in --drift")
     r.add_argument("--per-wave", action="store_true",

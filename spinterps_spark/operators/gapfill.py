@@ -663,6 +663,8 @@ def gapfill_virtual_chunks(
     tier: str = "1h",
     chunk_buckets: int = 3840,
     gorilla_chunk: int = 120,
+    drift: DataFrame | None = None,
+    drift_cols: list[str] | None = None,
     **knobs,
 ) -> DataFrame:
     """Fused gap-fill + Gorilla encode over a VIRTUAL spine.
@@ -681,6 +683,18 @@ def gapfill_virtual_chunks(
     bit-identical to the global k-NN of the materialized path (proved by
     tests/test_virtual_spine.py equality).
 
+    drift/drift_cols (EDK on the fused path, VERDICT r5 next-step #4;
+    reference drift-at-arbitrary-points precedent interp/drift.py:165-227):
+    the gap grid points the kernel generates have no materialized row to
+    join covariates onto, so the drift TABLE rows ride into the kernel
+    beside the refs — each (conv, bucket) drift row is chunk-assigned by
+    floor(epoch/span) and co-grouped; the kernel looks gap-point drift up
+    by exact bucket match, which reproduces the with_drift join values
+    bit-for-bit (proved by tests/test_virtual_spine.py EDK equality).
+    Scale note: this scans the drift table once and shuffles it on the
+    SAME (conv, chunk) key as the refs — still no materialized NULL spine
+    for the value series, which is where the ~30x inflation lived.
+
     Output: Gorilla chunk structs (compress/gorilla.CHUNK_SCHEMA); windows
     (gorilla_chunk buckets) nest in fill chunks (chunk_buckets % gorilla_chunk
     == 0) and the grid is tier-aligned, so chunk boundaries match the
@@ -689,9 +703,12 @@ def gapfill_virtual_chunks(
     params = {**DEFAULTS, **knobs}
     if chunk_buckets % gorilla_chunk != 0:
         raise ValueError("chunk_buckets must be a multiple of gorilla_chunk")
+    if (drift is None) != (not drift_cols):
+        raise ValueError("drift and drift_cols go together")
     secs = TIER_SECONDS[tier]
     span = chunk_buckets * secs
     k = params["n_neighbors"]
+    dcols = list(drift_cols or [])
 
     from pyspark.sql import Window as W
 
@@ -715,6 +732,17 @@ def gapfill_virtual_chunks(
     else:
         df = df.withColumn("vg_str", F.lit(None).cast("string"))
 
+    dsel = None
+    if dcols:
+        dsel = drift.select(
+            "conv_id",
+            F.unix_timestamp("bucket_ts").alias("_t"),
+            *[F.col(c).cast("double").alias(c) for c in dcols],
+        )
+        # refs carry their own covariates (drift_ref), same join the
+        # materialized path's with_drift performs
+        df = df.join(dsel, ["conv_id", "_t"], "left")
+
     w = W.partitionBy("conv_id").orderBy("_t")
     bounds_w = W.partitionBy("conv_id")
     df = df.select(
@@ -731,7 +759,24 @@ def gapfill_virtual_chunks(
                 F.floor(F.col("_tl") / span), F.floor(F.col("_tr") / span)
             )
         ).alias("_chunk"),
+        *dcols,
+        F.lit(False).alias("_is_drift"),
     )
+    if dcols:
+        # drift table rows enter the kernel as lookup rows: one chunk each
+        # (gap grid points live inside their own chunk window; context refs
+        # outside the window already carry their drift from the join above)
+        drows = dsel.select(
+            "conv_id", "_t",
+            F.lit(None).cast("double").alias("_v"),
+            F.lit(None).cast("string").alias("vg_str"),
+            F.lit(None).cast("long").alias("_first"),
+            F.lit(None).cast("long").alias("_last"),
+            F.floor(F.col("_t") / span).alias("_chunk"),
+            *dcols,
+            F.lit(True).alias("_is_drift"),
+        )
+        df = df.unionByName(drows)
 
     kw = dict(
         method=method,
@@ -754,15 +799,41 @@ def gapfill_virtual_chunks(
         t_all = pdf["_t"].to_numpy(np.int64)
         v_all = pdf["_v"].to_numpy(np.float64)
         ck_all = pdf["_chunk"].to_numpy(np.int64)
-        first_all = pdf["_first"].to_numpy(np.int64)
-        last_all = pdf["_last"].to_numpy(np.int64)
         conv_all = pdf["conv_id"].to_numpy()
         vg_all = pdf["vg_str"].to_numpy() if kriging else None
+        if dcols:
+            # drift rows carry null bounds -> pandas promotes to float64;
+            # epochs are far below 2^53, so the int() at ref rows is exact
+            isd_all = pdf["_is_drift"].to_numpy(bool)
+            dmat_all = pdf[dcols].to_numpy(np.float64)
+            first_all = pdf["_first"].to_numpy(np.float64)
+            last_all = pdf["_last"].to_numpy(np.float64)
+        else:
+            first_all = pdf["_first"].to_numpy(np.int64)
+            last_all = pdf["_last"].to_numpy(np.int64)
         out_conv, out_t, out_v = [], [], []
         for s, e in zip(starts, ends):
             c = ck_all[s]
-            lo = max(first_all[s], c * span)
-            hi = min(last_all[s], (c + 1) * span - secs)
+            if dcols:
+                ridx = s + np.flatnonzero(~isd_all[s:e])
+                if len(ridx) == 0:
+                    continue  # drift-only group: grid outside conv span
+                didx = s + np.flatnonzero(isd_all[s:e])
+                first = int(first_all[ridx[0]])
+                last = int(last_all[ridx[0]])
+                refs_t = t_all[ridx]
+                refs_v = v_all[ridx]
+                d_ref = dmat_all[ridx]
+                dt = t_all[didx]
+                dmat = dmat_all[didx]
+            else:
+                ridx = np.arange(s, e)
+                first = first_all[s]
+                last = last_all[s]
+                refs_t = t_all[s:e]
+                refs_v = v_all[s:e]
+            lo = max(first, c * span)
+            hi = min(last, (c + 1) * span - secs)
             # align the grid to the conversation's own bucket phase
             # (bucket epochs are global multiples of secs, so ceil/floor):
             g0 = -(-lo // secs) * secs
@@ -770,8 +841,6 @@ def gapfill_virtual_chunks(
             if g1 < g0:
                 continue
             grid = np.arange(g0, g1 + 1, secs, dtype=np.int64)
-            refs_t = t_all[s:e]
-            refs_v = v_all[s:e]
             # context refs outside the chunk window participate as refs
             inside = (refs_t >= g0) & (refs_t <= g1)
             t_ser = np.concatenate([refs_t[~inside], grid])
@@ -779,15 +848,30 @@ def gapfill_virtual_chunks(
                 [refs_v[~inside], np.full(len(grid), np.nan)]
             )
             pos = np.searchsorted(grid, refs_t[inside])
-            v_ser[len(refs_t[~inside]) + pos] = refs_v[inside]
+            n_out = len(refs_t) - inside.sum()
+            v_ser[n_out + pos] = refs_v[inside]
             order = np.argsort(t_ser, kind="stable")
             t_ser, v_ser = t_ser[order], v_ser[order]
+            d_ser = None
+            if dcols:
+                # gap-point drift = exact bucket lookup in the drift rows
+                # (identical values to the materialized with_drift join);
+                # slots holding refs reuse the ref's own joined drift.
+                d_grid = np.full((len(grid), len(dcols)), np.nan)
+                if len(dt):
+                    gp = np.searchsorted(dt, grid)
+                    okm = (gp < len(dt)) & (dt[np.minimum(gp, len(dt) - 1)] == grid)
+                    d_grid[okm] = dmat[gp[okm]]
+                d_grid[pos] = d_ref[inside]
+                d_ser = np.concatenate([d_ref[~inside], d_grid])[order]
             vg = None
             if kriging:
-                nn = pd.notna(vg_all[s:e])
-                vg = vg_all[s:e][nn][0] if nn.any() else "nan"
+                vgg = vg_all[ridx]
+                nn = pd.notna(vgg)
+                vg = vgg[nn][0] if nn.any() else "nan"
             filled, _ev, _cd = fill_series(
-                t_ser, v_ser, vg_str=vg, pinv_cache=_vcache, **kw)
+                t_ser, v_ser, vg_str=vg, drifts=d_ser,
+                pinv_cache=_vcache, **kw)
             keep = (t_ser >= g0) & (t_ser <= g1)
             out_conv.append(np.repeat(conv_all[s], keep.sum()))
             out_t.append(t_ser[keep])

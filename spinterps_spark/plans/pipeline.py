@@ -71,13 +71,14 @@ def run_retention_pipeline(
             "the synthetic linear-time drift), and drift_cols without a "
             "table cannot be joined"
         )
-    if drift is not None and fuse_fill_and_chunks:
-        raise ValueError(
-            "external drift columns need the materialized fill path "
-            "(fuse_fill_and_chunks=False): the virtual spine generates gap "
-            "grid points inside the kernel, where joined covariates do not "
-            "exist"
-        )
+    # NOTE r6: external drift now rides the fused virtual-spine path too —
+    # gapfill_virtual_chunks chunk-assigns the drift table rows and the
+    # kernel looks gap-point covariates up by exact bucket (bit-identical
+    # to the materialized with_drift join; VERDICT r5 next-step #4).
+    # Coverage contract (same as with_drift): the drift table must hold a
+    # row for every spine bucket of every tier being filled — a cascade
+    # over ("1m","1h") needs 1m-granular drift; missing buckets fail fast
+    # with the kernel's NaN-drift ValueError, never a silent fallback.
     run_id = run_id or new_run_id()
     ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
     fmt = table_format or tier_tables(
@@ -137,6 +138,7 @@ def run_retention_pipeline(
                 return gapfill_virtual_chunks(
                     sub, fill_metric, method=fill_method, tier=_tier,
                     coords=coords, vg_dim=vg_dim,
+                    drift=drift, drift_cols=drift_cols,
                     chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
                     **{k: v for k, v in fill_knobs.items() if k not in
                        ("chunk_buckets", "pad_buckets")},

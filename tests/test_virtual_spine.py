@@ -65,6 +65,70 @@ def test_virtual_ok_with_vg(spark, parts):
     assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all()
 
 
+def _drift_table(spined):
+    """Deterministic per-(conv, bucket) covariates over the FULL spine
+    (with_drift's coverage contract): one smooth time term, one conv-keyed
+    term — time-varying, so EDK != OK and the lookup path is really used."""
+    return spined.select(
+        "conv_id", "bucket_ts",
+        F.sin(F.unix_timestamp("bucket_ts") / F.lit(86400.0)).alias("d1"),
+        (F.pmod(F.xxhash64("conv_id"), F.lit(97)).cast("double") / 97.0
+         + F.unix_timestamp("bucket_ts") / F.lit(1e9)).alias("d2"),
+    )
+
+
+def test_virtual_edk_with_drift_equals_materialized(spark, parts):
+    """VERDICT r5 next-step #4: external-drift kriging through the fused
+    virtual-spine path — gap-point covariates come from chunk-assigned
+    drift-table rows looked up by exact bucket — must equal the
+    materialized with_drift path bit-for-bit."""
+    ser_valid, spined = parts
+    n_convs = ser_valid.select("conv_id").distinct().count()
+    coords = datagen.conv_coords_spark(spark, 42, n_convs)
+    vg = spark.createDataFrame(
+        [(c, "1.0 Sph(7200.0)") for c in range(8)], "cluster_id int, vg_str string"
+    )
+    drift = _drift_table(spined)
+    dcols = ["d1", "d2"]
+    mat = G.gapfill(
+        G.with_drift(spined, drift, dcols), "v", method="EDK", tier="1h",
+        emit="chunks", coords=coords, vg_dim=vg, drift_cols=dcols,
+    )
+    vir = G.gapfill_virtual_chunks(
+        ser_valid, "v", method="EDK", tier="1h", coords=coords, vg_dim=vg,
+        drift=drift, drift_cols=dcols, chunk_buckets=3840,
+    )
+    a, b = _decode_sorted(mat), _decode_sorted(vir)
+    assert len(a) == len(b)
+    assert (a["bucket_ts"].to_numpy() == b["bucket_ts"].to_numpy()).all()
+    av, bv = a["value"].to_numpy(), b["value"].to_numpy()
+    assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all()
+
+
+def test_virtual_edk_chunk_size_independent(spark, parts):
+    """Drift rows land one-chunk-each, so chunk size changes which drift
+    rows co-group with which refs; fills must be identical anyway — probe
+    with chunks small enough that silence holes span several wholly-empty
+    (drift-only, skipped) chunks."""
+    ser_valid, spined = parts
+    n_convs = ser_valid.select("conv_id").distinct().count()
+    coords = datagen.conv_coords_spark(spark, 42, n_convs)
+    vg = spark.createDataFrame(
+        [(c, "1.0 Sph(7200.0)") for c in range(8)], "cluster_id int, vg_str string"
+    )
+    drift = _drift_table(spined)
+    dcols = ["d1", "d2"]
+    a = _decode_sorted(G.gapfill_virtual_chunks(
+        ser_valid, "v", method="EDK", tier="1h", coords=coords, vg_dim=vg,
+        drift=drift, drift_cols=dcols, chunk_buckets=240))
+    b = _decode_sorted(G.gapfill_virtual_chunks(
+        ser_valid, "v", method="EDK", tier="1h", coords=coords, vg_dim=vg,
+        drift=drift, drift_cols=dcols, chunk_buckets=7680))
+    assert len(a) == len(b)
+    av, bv = a["value"].to_numpy(), b["value"].to_numpy()
+    assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all()
+
+
 def test_virtual_small_chunks_equal_large(spark, parts):
     """Chunk size must not affect results (rank-based membership is
     size-independent) — probe with chunks small enough that silence holes

@@ -421,3 +421,77 @@ def test_stream_curation_equals_batch_and_dedups(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.sql("SELECT * FROM curation_stream_fr").count() == 0
+
+
+def test_stream_curation_restart_exactly_once(spark, tmp_path):
+    """Restart drill (VERDICT r5 next-step #6): kill the curation query
+    after its first run commits, deliver a REPLAY of an already-kept text
+    plus a genuinely new doc while the query is down, then restart against
+    the SAME checkpoint dir. The recovered state store must still drop the
+    replay (the scenario the watermarked dedup exists for), the parquet
+    sink must hold each kept doc exactly once across both runs, and a third
+    restart with no new input must emit nothing."""
+    from spinterps_spark.plans.corpus import curation_cols
+    from spinterps_spark.streaming.ingest import stream_curation
+
+    base = 1_700_000_000
+    good1 = ("the quick brown fox jumped over the lazy dog near the river "
+             "bank while the sun was high and the wind was calm that day")
+    good2 = good1 + " second distinct document body with its own trailing words"
+    good3 = good1 + " third distinct document body arriving after the restart"
+
+    def _write(path, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ingest_ts"])
+        pdf["ingest_ts"] = pd.to_datetime(
+            pdf["ingest_ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(path)
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    _write(os.path.join(in_dir, "a.parquet"),
+           [(1, good1, base), (2, good2, base + 1)])
+
+    def _run():
+        q = (
+            stream_curation(spark, in_dir, min_tokens=10, min_quality=0.1)
+            .writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _run()  # run 1: docs 1, 2 kept and committed
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 2
+
+    # query is DOWN: an at-least-once upstream replays doc 1's text under a
+    # new doc_id, and one genuinely new doc arrives
+    _write(os.path.join(in_dir, "b.parquet"),
+           [(10, good1, base + 3600), (11, good3, base + 3601)])
+
+    _run()  # run 2: restart from the same checkpoint
+    got = spark.read.parquet(out_dir).orderBy("doc_id").toPandas()
+    # exactly-once across the restart: 1 and 2 appear once (no reprocess of
+    # file a), replay 10 dropped by the RECOVERED dedup state, 11 kept
+    assert list(got["doc_id"]) == [1, 2, 11]
+    assert got["doc_id"].is_unique
+
+    # the surviving rows equal the batch projection over first-seen docs
+    batch = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(1, good1, base), (2, good2, base + 1), (11, good3, base + 3601)],
+                columns=["doc_id", "text", "ingest_ts"],
+            ).assign(ingest_ts=lambda d: pd.to_datetime(d["ingest_ts"], unit="s"))
+        )
+        .select("doc_id", "ingest_ts", *curation_cols())
+        .where("quality_score >= 0.1 AND n_tokens >= 10")
+        .orderBy("doc_id").toPandas()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), batch)
+
+    _run()  # run 3: nothing new -> nothing emitted
+    assert spark.read.parquet(out_dir).count() == 3

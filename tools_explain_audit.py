@@ -205,6 +205,47 @@ def main():
     sections.append(("Overlap-weighted resample (r5: closed-form intersections, no joins)", p17,
                      ["Generate", "HashAggregate", "join nodes: 0"]))
 
+    # r6: fused pass under a planted mega-conversation — the rank-based
+    # chunk explosion bounds every Arrow group at chunk_buckets + 2k rows
+    # regardless of conversation size (adversarial pytest:
+    # tests/test_fused_skew.py at a 1.05M-bucket span). The bound is
+    # recomputed here independently (pandas membership rule) on a 100k-
+    # bucket mega conv and annotated onto the fused plan.
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    n_span, n_refs, cb = 100_000, 1_500, 3_840
+    k = G.DEFAULTS["n_neighbors"]
+    idx = np.sort(rng.choice(n_span, n_refs, replace=False))
+    idx[0], idx[-1] = 0, n_span - 1
+    t0 = 1_700_000_000 - (1_700_000_000 % 60)
+    mega = pd.DataFrame({
+        "conv_id": "mega",
+        "bucket_ts": pd.to_datetime(t0 + idx * 60, unit="s"),
+        "v": np.round(rng.uniform(1, 50, n_refs), 2),
+    })
+    tt = t0 + idx * 60
+    span = cb * 60
+    tl = np.concatenate([np.full(k, tt[0]), tt[:-k]])
+    tr = np.concatenate([tt[k:], np.full(k, tt[-1])])
+    counts: dict = {}
+    for lo, hi in zip(tl // span, tr // span):
+        for c in range(int(lo), int(hi) + 1):
+            counts[c] = counts.get(c, 0) + 1
+    mx = max(counts.values())
+    p18 = plan_of(G.gapfill_virtual_chunks(
+        spark.createDataFrame(mega), "v", method="IDW", tier="1m",
+        chunk_buckets=cb))
+    p18 = (f"(Arrow groups bounded: {mx <= cb + 2 * k} — planted "
+           f"mega-conversation spans {n_span:,} buckets / "
+           f"{len(counts)} chunks; max group rows {mx} <= "
+           f"chunk_buckets + 2k = {cb + 2 * k}; a conversation-sized "
+           f"group would be {n_refs} rows and unbounded at 100 TB)\n") + p18
+    sections.append(("Fused pass under a mega-conversation "
+                     "(r6: skew-bounded Arrow groups)", p18,
+                     ["MapInPandas", "Arrow groups bounded: True"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

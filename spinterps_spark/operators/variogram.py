@@ -454,10 +454,23 @@ def _per_mix_fits(evg: DataFrame, keys: list[str], seed: int) -> DataFrame:
     same seed, so per-mix tasks reproduce the same numbers, and the min-AIC
     reduce below uses the same (aic, mix order) tie-break as the old stable
     sort. Group rows are tiny (n_bins per mix), so the explode's
-    len(MODEL_MIXES)x row amplification is on a dim-sized table."""
+    len(MODEL_MIXES)x row amplification is on a dim-sized table.
+
+    AQE trap (r6): the evg input is a few KB, so AQE's
+    coalesceShufflePartitions squashes the groupBy shuffle to ONE
+    post-shuffle partition and every fit runs serially in a single task —
+    measured 48 x 0.2 s sleep groups at 10 s wall on local[32]. CPU cost
+    here is per GROUP, not per byte, so byte-targeted coalescing is exactly
+    wrong. An explicit fixed-N repartition on the group keys is emitted as
+    REPARTITION_BY_NUM, which AQE never coalesces, and it already satisfies
+    the groupBy's required distribution so no second exchange appears
+    (one Exchange node in the final plan). 4x parallelism over-partitioning
+    keeps hash-collision stragglers ~1 group/task; empty tasks are ~ms."""
     x = evg.withColumn(
         "mix_id", F.explode(F.array(*[F.lit(i) for i in range(len(MODEL_MIXES))]))
     )
+    n_parts = 4 * evg.sparkSession.sparkContext.defaultParallelism
+    x = x.repartition(n_parts, *keys, "mix_id")
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bin")

@@ -187,6 +187,25 @@ def main():
         result["sf1_value"] = round(sf1_n / min(sf1_secs), 1)
         result["sf1_value_median"] = round(sf1_n / statistics.median(sf1_secs), 1)
 
+        # ---- sf1 dedup legs (VERDICT r5 next-step #5): the bucketed dedup
+        # designs at 10x the sf0.1 documents volume, so the "bounded
+        # fan-out" claim carries a 10x measurement next to the skew pytest.
+        # 50k docs mirror the testdata documents distribution (31-token
+        # vocab, 10-100 tokens/doc) with a deterministic near-dup lattice.
+        from spinterps_spark import queries as Q
+
+        docdir = tempfile.mkdtemp(prefix="bench_sf1_documents_")
+        datagen.documents_spark(spark, seed=42, n_docs=50_000).write.mode(
+            "overwrite"
+        ).parquet(f"{docdir}/documents.parquet")
+        qreg = Q.queries()
+        for qname in ("minhash_lsh", "winnow_dedup"):
+            t0 = time.time()
+            n_rows = qreg[qname](spark, docdir).count()
+            result[f"sf1_{qname}_sec"] = round(time.time() - t0, 3)
+            result[f"sf1_{qname}_rows"] = n_rows
+        shutil.rmtree(docdir, ignore_errors=True)
+
     print(json.dumps(result))
     shutil.rmtree(gen_dir, ignore_errors=True)
     shutil.rmtree(work_dir, ignore_errors=True)

@@ -180,3 +180,88 @@ def conv_coords_pandas(seed: int, n_convs: int, n_clusters: int = 8) -> pd.DataF
 
 def conv_coords_spark(spark, seed: int, n_convs: int, n_clusters: int = 8):
     return spark.createDataFrame(conv_coords_pandas(seed, n_convs, n_clusters))
+
+
+# ---------------------------------------------------------------------------
+# documents generator (dedup/similarity bench input at arbitrary scale)
+# ---------------------------------------------------------------------------
+
+DOCUMENT_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+_DOC_VOCAB = np.array(
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row table stream merge data plan "
+    "join shuffle stage task executor".split()
+)
+_DOC_LANGS = np.array(["en", "fr", "de", "es", "zh"])
+_DOC_SOURCES = np.array([f"src{i}" for i in range(20)])
+
+
+def _doc_tokens(seed: int, doc_id: int) -> np.ndarray:
+    """Token array for one document: 10-100 tokens drawn from the 31-word
+    vocab, all values pure functions of (seed, doc_id) via splitmix64 —
+    mirrors the driver testdata documents distribution (31-token vocab,
+    10-100 tokens/doc, avg ~54) so sf-scaled bench legs exercise the same
+    shingle/fingerprint density as the sf0.1 gate."""
+    n = 10 + int(_mix(seed, 7001, np.uint64(doc_id)) % np.uint64(91))
+    picks = _mix(seed, 7002, doc_id * 131 + np.arange(n)) % len(_DOC_VOCAB)
+    return _DOC_VOCAB[picks]
+
+
+def documents_pandas(seed: int, doc_ids: np.ndarray) -> pd.DataFrame:
+    """Vectorized-per-doc generator for a batch of doc ids.
+
+    Near-dup structure (so LSH/winnowing have real work at every scale):
+    docs with id % 37 == 1 and id >= 37 are MUTATIONS of the raw token
+    stream of doc (id - 37): 2 positions substituted — inside the LSH
+    similarity band. Docs with id % 211 == 3 and id >= 211 are EXACT
+    copies of a low-id raw doc (the exact-dedup tail, ~0.5%); the base is
+    nudged off the mutation lattice so copy == published base text."""
+    rows = []
+    for did in doc_ids.astype(np.int64):
+        d = int(did)
+        if d >= 211 and d % 211 == 3:
+            b = d % 199  # low-id raw base; published base text == its raw tokens
+            if b % 37 == 1 or b % 211 == 3:
+                b += 1
+            toks = _doc_tokens(seed, b)
+        elif d >= 37 and d % 37 == 1:
+            toks = _doc_tokens(seed, d - 37).copy()
+            n = len(toks)
+            pos = _mix(seed, 7003, d + np.arange(2)) % n
+            sub = _mix(seed, 7004, d + np.arange(2)) % len(_DOC_VOCAB)
+            toks[pos.astype(np.int64)] = _DOC_VOCAB[sub]
+        else:
+            toks = _doc_tokens(seed, d)
+        text = " ".join(toks.tolist())
+        rows.append(
+            (
+                d,
+                text,
+                str(_DOC_LANGS[int(_mix(seed, 7005, np.uint64(d)) % np.uint64(len(_DOC_LANGS)))]),
+                str(_DOC_SOURCES[int(_mix(seed, 7006, np.uint64(d)) % np.uint64(len(_DOC_SOURCES)))]),
+                len(text),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def documents_spark(spark, seed: int = 42, n_docs: int = 5_000, parts: int | None = None):
+    """Distributed documents generator: spark.range over doc ids expanded
+    per-partition (same never-on-the-driver contract as transcripts_spark).
+    Docs are independent, so generation is embarrassingly parallel at any
+    scale; near-dup partners land in different partitions and are found by
+    the dedup JOINS, not by generator co-location."""
+    if parts is None:
+        parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield documents_pandas(seed, ids)
+
+    ids = spark.range(n_docs).repartition(parts)
+    return ids.mapInPandas(gen, schema=DOCUMENT_SCHEMA)

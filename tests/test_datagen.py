@@ -53,3 +53,28 @@ def test_silence_holes_exist():
     df = datagen.transcripts_pandas(seed=42, n_turns_target=5000)
     gaps = df.groupby("conv_id")["ts"].diff().dt.total_seconds().dropna()
     assert (gaps >= 3600).any(), "no silence holes -> gap-fill untestable"
+
+
+def test_documents_spark_matches_pandas(spark):
+    import numpy as np
+
+    sdf = datagen.documents_spark(spark, seed=42, n_docs=1000)
+    got = sdf.toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        datagen.documents_pandas(42, np.arange(1000))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_documents_dup_lattice():
+    import numpy as np
+
+    d = datagen.documents_pandas(42, np.arange(5000))
+    # exact-dup tail exists (id % 211 == 3 copies a raw low-id base)
+    assert d.text.duplicated().sum() >= 10
+    # near-dup mutation: same length, all-but-<=2 positions identical
+    t1, t38 = d.text[1].split(), d.text[38].split()
+    assert len(t1) == len(t38)
+    assert sum(a != b for a, b in zip(t1, t38)) <= 2

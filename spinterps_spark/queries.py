@@ -1814,18 +1814,30 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
       conv subset (md5 prefix < '4') and the middle [12.5%, 75%] time slice
       — conv IN + chunk_start_ts range land on the parquet scan BELOW the
       decode; the DuckDB twin filters the recomputed source identically.
+    - leg 'retain' (r6, the retention driver-gate row): the REAL
+      plans/retention.run_retention_pass ages chunks whose whole window
+      lies before the series midpoint out of the written table (waved
+      copy-on-write rewrite + snapshot commit), then decodes the published
+      generation. Chunk windows are time-aligned spans of
+      DEFAULT_CHUNK * tier_seconds, so the DuckDB twin reproduces the
+      keep-whole-straddling-chunks rule as a pure row predicate:
+      (epoch // span + 1) * span > horizon.
     """
     import tempfile
 
     from spinterps_spark.compress.gorilla import (
-        decode_tier_chunks, encode_tier_chunks, read_chunks_pruned)
+        DEFAULT_CHUNK, decode_tier_chunks, encode_tier_chunks,
+        read_chunks_pruned)
+    from spinterps_spark.plans.retention import (
+        read_tier_chunks, run_retention_pass)
 
     h1 = _h1(spark, sf_dir)
     ser = h1.select(
         "conv_id", "bucket_ts",
         (F.col("tok_len_sum") / F.col("turn_cnt")).alias("value_filled"),
     )
-    path = tempfile.mkdtemp(prefix="spinterps_gorilla_q_") + "/chunks"
+    base = tempfile.mkdtemp(prefix="spinterps_gorilla_q_")
+    path = f"{base}/chunks/tier=1h/wave=0"
     encode_tier_chunks(ser, "1h").write.parquet(path)
 
     # deterministic prune bounds, recomputable by the SQL twin: epoch-second
@@ -1844,10 +1856,15 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     full = decode_tier_chunks(_utc(spark).read.parquet(path))
     pruned = read_chunks_pruned(spark, path, "1h",
                                 conv_ids=convs, t_min=t_lo, t_max=t_hi)
+    horizon = b.mn + (b.mx - b.mn) // 2
+    run_retention_pass(spark, base, "1h", horizon, run_id="q", n_waves=2)
+    retained = decode_tier_chunks(read_tier_chunks(spark, base, "1h"))
     return full.select(
         F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
     ).unionAll(pruned.select(
         F.lit("pruned").alias("leg"), "conv_id", "bucket_ts", "value"
+    )).unionAll(retained.select(
+        F.lit("retain").alias("leg"), "conv_id", "bucket_ts", "value"
     ))
 
 
@@ -1869,6 +1886,14 @@ FROM fulls, b
 WHERE substring(md5(conv_id), 1, 1) < '4'
   AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 8
   AND CAST(epoch(bucket_ts) AS BIGINT) <= mn + (mx - mn) * 3 // 4
+UNION ALL
+-- retention keeps chunks straddling the horizon WHOLE: a row survives iff
+-- its time-aligned chunk window (span = 120 points * 3600 s) ends after
+-- the horizon = series midpoint
+SELECT 'retain' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
+      > mn + (mx - mn) // 2
 """
 )
 

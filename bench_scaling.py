@@ -20,6 +20,7 @@ import tempfile
 import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
+CURATED_MARKER = "<!-- curated below: preserved across bench_scaling.py runs -->"
 
 
 def run_once(cpus: int, input_dir: str, zip_path: str, turns: int) -> dict:
@@ -121,7 +122,16 @@ def main():
     print(json.dumps(result))
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    # this script owns only the header block; curated sections (round-over-
+    # round table, gorilla metrics, negative results, methodology caveats)
+    # live below the marker and survive re-runs
+    md_path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    curated = ""
+    if os.path.exists(md_path):
+        old = open(md_path).read()
+        if CURATED_MARKER in old:
+            curated = old[old.index(CURATED_MARKER):]
+    with open(md_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured numbers
 
@@ -143,8 +153,11 @@ Runs per leg: {args.runs} (best-of kept; all throughputs
 local[{args.n}]={m_n.get('all_points_per_sec')},
 local[{args.fourn}]={m_4n.get('all_points_per_sec')} — this VM shows
 transient hypervisor steal; single-shot legs can vary ±20%).
+
 """
         )
+        if curated:
+            f.write(curated)
 
 
 if __name__ == "__main__":

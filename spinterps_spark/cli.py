@@ -303,6 +303,22 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Bin-pack the tier's current chunk generation into ~--target-mb files
+    range-clustered on (conv_id, chunk_start_ts) and publish it with one
+    snapshot commit (plans/compaction.py — the Iceberg rewrite_data_files
+    analog for the waved parquet tables)."""
+    from spinterps_spark.plans.compaction import run_compaction_pass
+
+    spark = _spark("spinterps_spark.compact")
+    metrics = run_compaction_pass(
+        spark, args.out, args.tier, target_file_mb=args.target_mb,
+        run_id=args.resume, n_waves=args.waves,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spinterps_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -438,6 +454,19 @@ def main(argv=None) -> int:
     rt.add_argument("--waves", type=int, default=4)
     rt.add_argument("--resume", default=None, help="run_id to resume")
     rt.set_defaults(fn=cmd_retention)
+
+    cp = sub.add_parser(
+        "compact",
+        help="bin-pack a tier's chunk files (range-clustered rewrite + one "
+             "snapshot commit; resumable via --resume)")
+    cp.add_argument("--out", required=True,
+                    help="pipeline out_dir holding chunks/tier=<t>")
+    cp.add_argument("--tier", default="1m")
+    cp.add_argument("--target-mb", type=int, default=128,
+                    help="target output file size in MiB")
+    cp.add_argument("--waves", type=int, default=1)
+    cp.add_argument("--resume", default=None, help="run_id to resume")
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1822,12 +1822,19 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
       DEFAULT_CHUNK * tier_seconds, so the DuckDB twin reproduces the
       keep-whole-straddling-chunks rule as a pure row predicate:
       (epoch // span + 1) * span > horizon.
+    - leg 'compact' (r6, the compaction driver-gate row): the REAL
+      plans/compaction.run_compaction_pass bin-packs the retained
+      generation's files (range-clustered rewrite + snapshot commit), then
+      decodes the newly published generation. Compaction is content-
+      preserving, so the twin is the SAME predicate as 'retain' — the hash
+      breaks if the rewrite loses, duplicates, or corrupts any point.
     """
     import tempfile
 
     from spinterps_spark.compress.gorilla import (
         DEFAULT_CHUNK, decode_tier_chunks, encode_tier_chunks,
         read_chunks_pruned)
+    from spinterps_spark.plans.compaction import run_compaction_pass
     from spinterps_spark.plans.retention import (
         read_tier_chunks, run_retention_pass)
 
@@ -1859,12 +1866,17 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     horizon = b.mn + (b.mx - b.mn) // 2
     run_retention_pass(spark, base, "1h", horizon, run_id="q", n_waves=2)
     retained = decode_tier_chunks(read_tier_chunks(spark, base, "1h"))
+    # tiny target so the bin-pack genuinely repacks at sf0.01 volumes
+    run_compaction_pass(spark, base, "1h", target_file_mb=1, run_id="qc")
+    compacted = decode_tier_chunks(read_tier_chunks(spark, base, "1h"))
     return full.select(
         F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
     ).unionAll(pruned.select(
         F.lit("pruned").alias("leg"), "conv_id", "bucket_ts", "value"
     )).unionAll(retained.select(
         F.lit("retain").alias("leg"), "conv_id", "bucket_ts", "value"
+    )).unionAll(compacted.select(
+        F.lit("compact").alias("leg"), "conv_id", "bucket_ts", "value"
     ))
 
 
@@ -1891,6 +1903,13 @@ UNION ALL
 -- its time-aligned chunk window (span = 120 points * 3600 s) ends after
 -- the horizon = series midpoint
 SELECT 'retain' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
+      > mn + (mx - mn) // 2
+UNION ALL
+-- compaction is a content-preserving file rewrite of the retained
+-- generation: expected rows = the retain leg verbatim
+SELECT 'compact' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
 WHERE (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
       > mn + (mx - mn) // 2

@@ -246,6 +246,28 @@ def main():
                      "(r6: skew-bounded Arrow groups)", p18,
                      ["MapInPandas", "Arrow groups bounded: True"]))
 
+    # r6: compaction rewrite — ONE range exchange of opaque binary chunk
+    # rows, a partition-local sort, and NO Python/decode node anywhere:
+    # the bin-pack moves bytes, never points. rangepartitioning on
+    # (conv_id, chunk_start_ts) is what keeps per-file min/max stats
+    # disjoint so read_chunks_pruned skips whole files afterwards.
+    from spinterps_spark.compress.gorilla import encode_tier_chunks
+    ser19 = R.base_rollup(fixtures.load_transcripts(spark, sf), "1h").selectExpr(
+        "conv_id", "bucket_ts", "tok_len_sum/turn_cnt as value_filled")
+    chunks19 = encode_tier_chunks(ser19, "1h")
+    p19 = plan_of(
+        chunks19.repartitionByRange(4, "conv_id", "chunk_start_ts")
+        .sortWithinPartitions("conv_id", "chunk_start_ts")
+    )
+    n_py19 = len(re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
+                            p19.split("rangepartitioning")[-1]))
+    p19 = (f"(python nodes above the range exchange: {n_py19} — must be 0; "
+           f"compaction moves encoded bytes, it never decodes)\n") + p19
+    sections.append(("Compaction rewrite (r6: one range exchange of opaque "
+                     "chunk rows, no decode)", p19,
+                     ["rangepartitioning", "Sort",
+                      "python nodes above the range exchange: 0"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

@@ -136,14 +136,20 @@ def run_retention_pass(
     }
 
 
-def read_tier_chunks(spark, out_dir: str, tier: str):
-    """Current chunk table for a tier: the latest retained generation if a
-    retention pass has been committed, else the pipeline's original chunk
-    directory. This is the reader the atomic commit flip protects."""
+def tier_location(spark, out_dir: str, tier: str) -> str:
+    """Glob path of the tier's CURRENT chunk generation: the latest
+    committed one (retention or compaction — whichever published last),
+    else the pipeline's original chunk directory."""
     fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
     snaps = [s for s in fmt.snapshots() if s.get("tier") == tier]
     if snaps:
-        return spark.read.parquet(
-            os.path.join(snaps[-1]["data_location"], "wave=*")
-        )
-    return spark.read.parquet(os.path.join(out_dir, f"chunks/tier={tier}", "wave=*"))
+        return os.path.join(snaps[-1]["data_location"], "wave=*")
+    return os.path.join(out_dir, f"chunks/tier={tier}", "wave=*")
+
+
+def read_tier_chunks(spark, out_dir: str, tier: str):
+    """Current chunk table for a tier: the latest published generation if a
+    retention/compaction pass has been committed, else the pipeline's
+    original chunk directory. This is the reader the atomic commit flip
+    protects."""
+    return spark.read.parquet(tier_location(spark, out_dir, tier))

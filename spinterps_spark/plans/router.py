@@ -1,0 +1,110 @@
+"""Tier router: one time-range read across the retention tiers.
+
+The write path (plans/pipeline) keeps 1m/1h/1d tiers coexisting and the
+maintenance path (plans/retention) ages the fine tiers out past a horizon —
+which leaves the READ side with a question the store itself should answer:
+"give me this conversation metric over [t_min, t_max] at 1m resolution"
+must come from the 1m tier where it still exists and from the coarser tiers
+where it no longer does. This module is that read path — the
+continuous-aggregate/retention-policy query routing a time-series store
+ships (TimescaleDB real-time aggregates, InfluxDB retention-policy reads),
+derived entirely from the snapshot metadata the retention pass already
+commits (horizon_ts in the tier's snapshot summary: metadata travels with
+the data, reference interp/prepare.py:387-428).
+
+Routing rule (deterministic, metadata-only — no data scan to decide):
+
+    for tier from the requested resolution to coarser, while range remains:
+        serve [max(t_min, horizon(tier)), hi] from this tier
+        hi <- that lower bound - 1        # older range falls through
+
+where horizon(tier) is the latest committed retention horizon (0 if the
+tier was never retained). Ranges older than every available tier's horizon
+are genuinely gone — retention semantics, served by nobody. Each leg is a
+PRUNED cube read (compress/gorilla.read_chunks_pruned: conv/time selection
+lands on parquet row-group stats BELOW the decode), against the tier's
+CURRENT generation (plans/retention.tier_location — so the router composes
+with compaction transparently).
+
+100-TB scale: the routing decision reads only the snapshot log (KBs); each
+leg decodes only the chunks its pruned scan survives; legs are disjoint
+time slices so the union duplicates nothing.
+
+Driver-gated: the `route_1m`/`route_1h` legs of the gorilla_roundtrip
+composite hash the router's output — including WHICH tier served which
+slice — against a DuckDB twin recomputing both rollups from raw turns.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import functions as F
+
+from spinterps_spark import TIER_SECONDS, TIERS
+from spinterps_spark.compress.gorilla import read_chunks_pruned
+from spinterps_spark.plans.retention import tier_location
+from spinterps_spark.sources.tableformat import tier_tables
+
+
+def tier_horizons(spark, out_dir: str) -> dict[str, int]:
+    """Latest committed retention horizon per tier (epoch seconds).
+    Tiers never retained are absent (horizon 0 = holds all history)."""
+    fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
+    out: dict[str, int] = {}
+    for s in fmt.snapshots():
+        t = s.get("tier")
+        if t and s.get("stage") == f"retention:{t}":
+            out[t] = int(s["horizon_ts"])  # snapshots are append-ordered
+    return out
+
+
+def _has_chunks(loc_glob: str) -> bool:
+    return any(_glob.glob(loc_glob))
+
+
+def query_range(
+    spark,
+    out_dir: str,
+    t_min: int,
+    t_max: int,
+    resolution: str = "1m",
+    conv_ids: list[str] | None = None,
+):
+    """Points in [t_min, t_max] (epoch seconds, inclusive) at the finest
+    stored resolution >= `resolution`'s grain, transparently spanning
+    retention horizons. Returns (conv_id, tier, bucket_ts, value); the
+    `tier` column tells the consumer which resolution served each row.
+    """
+    if resolution not in TIER_SECONDS:
+        raise KeyError(f"unknown resolution {resolution!r}; use one of {TIERS}")
+    horizons = tier_horizons(spark, out_dir)
+    legs = []
+    hi = int(t_max)
+    lo_req = int(t_min)
+    for tier in TIERS:
+        if TIER_SECONDS[tier] < TIER_SECONDS[resolution]:
+            continue  # finer than requested: never read
+        if hi < lo_req:
+            break
+        loc = tier_location(spark, out_dir, tier)
+        if not _has_chunks(loc):
+            continue
+        lo = max(lo_req, horizons.get(tier, 0))
+        if lo > hi:
+            continue  # tier's whole holding is newer than the remaining range
+        legs.append(
+            read_chunks_pruned(
+                spark, loc, tier, conv_ids=conv_ids, t_min=lo, t_max=hi
+            ).select("conv_id", "tier", "bucket_ts", "value")
+        )
+        hi = lo - 1  # older range falls through to the next coarser tier
+    if not legs:
+        return spark.createDataFrame(
+            [], "conv_id string, tier string, bucket_ts timestamp, value double"
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

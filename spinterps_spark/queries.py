@@ -1828,6 +1828,15 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
       decodes the newly published generation. Compaction is content-
       preserving, so the twin is the SAME predicate as 'retain' — the hash
       breaks if the rewrite loses, duplicates, or corrupts any point.
+    - legs 'route_1m'/'route_1h' (r6, the tier-router driver-gate rows):
+      a 1m chunk tier is written beside the 1h one and retained at the
+      3/4 point, then plans/router.query_range serves the WHOLE span at
+      1m resolution: [3/4, end] comes from the surviving 1m tier,
+      [midpoint, 3/4) falls through to the 1h tier (whose own retention
+      horizon is the midpoint — the router reads both horizons from the
+      snapshot log), and the pre-midpoint band is aged out of every tier
+      (served by nobody). The leg name carries WHICH tier served each
+      row, so the hash locks the routing decision, not just the values.
     """
     import tempfile
 
@@ -1837,6 +1846,7 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     from spinterps_spark.plans.compaction import run_compaction_pass
     from spinterps_spark.plans.retention import (
         read_tier_chunks, run_retention_pass)
+    from spinterps_spark.plans.router import query_range
 
     h1 = _h1(spark, sf_dir)
     ser = h1.select(
@@ -1869,6 +1879,18 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     # tiny target so the bin-pack genuinely repacks at sf0.01 volumes
     run_compaction_pass(spark, base, "1h", target_file_mb=1, run_id="qc")
     compacted = decode_tier_chunks(read_tier_chunks(spark, base, "1h"))
+    # 1m tier beside the 1h one, retained at the 3/4 point; the router
+    # then serves [3/4, end] at 1m and falls through to 1h for
+    # [midpoint, 3/4) — reading both horizons from the snapshot log
+    ser_1m = R.base_rollup(_t(spark, sf_dir), "1m").select(
+        "conv_id", "bucket_ts",
+        (F.col("tok_len_sum") / F.col("turn_cnt")).alias("value_filled"),
+    )
+    encode_tier_chunks(ser_1m, "1m").write.parquet(
+        f"{base}/chunks/tier=1m/wave=0")
+    h34 = b.mn + (b.mx - b.mn) * 3 // 4
+    run_retention_pass(spark, base, "1m", h34, run_id="qr", n_waves=2)
+    routed = query_range(spark, base, b.mn, b.mx, resolution="1m")
     return full.select(
         F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
     ).unionAll(pruned.select(
@@ -1877,6 +1899,9 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
         F.lit("retain").alias("leg"), "conv_id", "bucket_ts", "value"
     )).unionAll(compacted.select(
         F.lit("compact").alias("leg"), "conv_id", "bucket_ts", "value"
+    )).unionAll(routed.select(
+        F.concat(F.lit("route_"), F.col("tier")).alias("leg"),
+        "conv_id", "bucket_ts", "value",
     ))
 
 
@@ -1913,6 +1938,20 @@ SELECT 'compact' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
 WHERE (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
       > mn + (mx - mn) // 2
+UNION ALL
+-- tier router at 1m resolution: the 1m tier (retained at the 3/4 point)
+-- serves [3/4, end]; the 1h tier (retention horizon = midpoint) serves
+-- [midpoint, 3/4); the pre-midpoint band is aged out of every tier
+SELECT 'route_1m' AS leg, conv_id, bucket_ts,
+       tok_len_sum / CAST(turn_cnt AS DOUBLE) AS value
+FROM m1, b
+WHERE CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) * 3 // 4
+  AND CAST(epoch(bucket_ts) AS BIGINT) <= mx
+UNION ALL
+SELECT 'route_1h' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
+  AND CAST(epoch(bucket_ts) AS BIGINT) < mn + (mx - mn) * 3 // 4
 """
 )
 

@@ -319,6 +319,49 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_refresh(args) -> int:
+    """Incremental continuous-aggregate refresh: merge a parquet of NEW
+    turns into an existing tier store, recomputing only the conversations
+    the delta touched and publishing latest-wins deltas (plans/refresh.py —
+    the TimescaleDB refresh_continuous_aggregate analog). Deltas must be
+    turns not previously ingested; redelivery dedup is the streaming
+    path's job."""
+    from spinterps_spark.plans.refresh import run_refresh_pass
+
+    spark = _spark("spinterps_spark.refresh")
+    coords = spark.read.parquet(args.coords) if args.coords else None
+    vg_dim = spark.read.parquet(args.vg_dim) if args.vg_dim else None
+    metrics = run_refresh_pass(
+        spark, spark.read.parquet(args.input), args.out,
+        tiers=tuple(args.tiers.split(",")),
+        fill_method=None if args.fill == "none" else args.fill,
+        coords=coords, vg_dim=vg_dim,
+        n_waves=args.waves, run_id=args.resume,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Routed time-range read: serve [--from, --to] at the finest stored
+    resolution, falling through to coarser tiers past each retention
+    horizon (plans/router.py). Writes (conv_id, tier, bucket_ts, value)
+    parquet to --result."""
+    from spinterps_spark.plans.router import query_range
+
+    spark = _spark("spinterps_spark.query")
+    convs = args.convs.split(",") if args.convs else None
+    out = query_range(
+        spark, args.out, args.t_from, args.t_to,
+        resolution=args.resolution, conv_ids=convs,
+    )
+    out.write.mode("overwrite").parquet(args.result)
+    written = spark.read.parquet(args.result)
+    by_tier = {r["tier"]: r["count"] for r in written.groupBy("tier").count().collect()}
+    print(json.dumps({"result": args.result, "rows_by_tier": by_tier}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spinterps_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -467,6 +510,40 @@ def main(argv=None) -> int:
     cp.add_argument("--waves", type=int, default=1)
     cp.add_argument("--resume", default=None, help="run_id to resume")
     cp.set_defaults(fn=cmd_compact)
+
+    rf = sub.add_parser(
+        "refresh",
+        help="merge a parquet of NEW turns into an existing tier store "
+             "(affected-conv-only recompute, latest-wins delta publish; "
+             "resumable via --resume)")
+    rf.add_argument("--input", required=True, help="parquet of new turns")
+    rf.add_argument("--out", required=True,
+                    help="pipeline out_dir holding rollup/ + chunks/")
+    rf.add_argument("--tiers", default="1m,1h",
+                    help="the store's cascade order, finest first")
+    rf.add_argument("--fill", default="IDW",
+                    help="gap-fill method, or 'none' for stores written "
+                         "without fill")
+    rf.add_argument("--coords", default=None)
+    rf.add_argument("--vg-dim", dest="vg_dim", default=None)
+    rf.add_argument("--waves", type=int, default=2)
+    rf.add_argument("--resume", default=None, help="run_id to resume")
+    rf.set_defaults(fn=cmd_refresh)
+
+    q = sub.add_parser(
+        "query",
+        help="routed time-range read across retention tiers "
+             "(fine tier where it holds data, coarser past each horizon)")
+    q.add_argument("--out", required=True,
+                   help="pipeline out_dir holding chunks/tier=<t>")
+    q.add_argument("--from", dest="t_from", required=True, type=int,
+                   help="epoch seconds, inclusive")
+    q.add_argument("--to", dest="t_to", required=True, type=int,
+                   help="epoch seconds, inclusive")
+    q.add_argument("--resolution", default="1m")
+    q.add_argument("--convs", default=None, help="comma-separated conv_ids")
+    q.add_argument("--result", required=True, help="output parquet path")
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

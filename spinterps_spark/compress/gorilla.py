@@ -419,7 +419,7 @@ DataFrame_or_any = object
 
 def read_chunks_pruned(
     spark,
-    path: str,
+    source,
     tier: str,
     conv_ids: list[str] | None = None,
     t_min=None,
@@ -458,9 +458,14 @@ def read_chunks_pruned(
 
     from spinterps_spark import TIER_SECONDS
 
-    # the chunk table may hold several tiers (CHUNK_SCHEMA carries tier);
-    # span-based pruning is only valid for the requested one
-    chunks = spark.read.parquet(path).where(F.col("tier") == tier)
+    # source: a parquet path/glob, or an already-built chunk DataFrame
+    # (e.g. the merged multi-generation view from plans/generations —
+    # the filters below still push through its unions to the scans).
+    # The chunk table may hold several tiers (CHUNK_SCHEMA carries tier);
+    # span-based pruning is only valid for the requested one.
+    chunks = (
+        spark.read.parquet(source) if isinstance(source, str) else source
+    ).where(F.col("tier") == tier)
     if conv_ids is not None:
         chunks = chunks.where(F.col("conv_id").isin(*conv_ids))
     if t_min is not None:

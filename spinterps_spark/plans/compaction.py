@@ -59,15 +59,14 @@ def _local_path(uri: str) -> str:
 
 
 def _tier_source(spark, out_dir: str, tier: str):
-    """Latest published generation for the tier (mirrors
-    plans/retention.read_tier_chunks), plus its file inventory."""
+    """Current merged view for the tier (plans/retention.read_tier_chunks —
+    folds refresh deltas, so compaction flattens the delta chain like a
+    table-format compaction resolving delete files), plus the file
+    inventory beneath it."""
+    from spinterps_spark.plans.retention import read_tier_chunks
+
     fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
-    snaps = [s for s in fmt.snapshots() if s.get("tier") == tier]
-    if snaps:
-        loc = os.path.join(snaps[-1]["data_location"], "wave=*")
-    else:
-        loc = os.path.join(out_dir, f"chunks/tier={tier}", "wave=*")
-    df = spark.read.parquet(loc)
+    df = read_tier_chunks(spark, out_dir, tier)
     files = [_local_path(f) for f in df.inputFiles()]
     return fmt, df, files
 

@@ -1,0 +1,225 @@
+"""Incremental continuous-aggregate refresh: merge a turn-delta into the
+tier cascade, recomputing ONLY the conversations it touched.
+
+The north rule's continuous aggregates so far had two paths: the batch
+pipeline (full recompute, plans/pipeline.py) and the streaming cascade
+(stateful, streaming/ingest.py). This pass is the third — the
+TimescaleDB-style `refresh_continuous_aggregate`: a batch of late/new turns
+arrives, and instead of re-running the pipeline the engine
+
+1. re-aggregates just the affected conversations' rollup rows by MERGING
+   partial aggregates — every tier metric is an exact-compose sum/count
+   (operators/rollup.py docstring), so `old rows (affected convs) UNION
+   delta partials -> re-sum` is bit-identical to a from-scratch rollup of
+   the union of all turns, at the cost of the DELTA, not the history;
+2. re-fills and re-encodes those conversations' Gorilla chunks (gap fill is
+   conversation-local — reference: one interpolation unit per time step
+   group, interp/steps.py — so a conv-scoped refill equals the full run);
+3. publishes both as REFRESH DELTAS in the snapshot log, read back
+   latest-wins per conv_id (plans/generations.py). No base file is
+   rewritten: write amplification = O(affected convs), and the next
+   retention/compaction pass flattens the delta chain.
+
+Refresh composes with retention: chunks are re-encoded only for buckets at
+or after the tier's committed retention horizon (plans/generations.
+tier_horizons), so a refresh never resurrects aged-out points — while the
+rollup table (the system of record, never retained) keeps full history.
+
+Resumable exactly like the other passes: same (run_id, stage) committed ->
+skipped; a crash mid-write redoes only the missing waves (per-wave lineage
+rows via plans/checkpoint.run_waved_pass).
+
+100-TB scale: one scan of the delta + a broadcast-semi-joined scan of the
+affected convs' rollup rows; the fill/encode fan-out is bounded by the
+affected-conv count. A day's late data against a year's history touches
+~1/365th of the table and none of the chunk store's base files.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from spinterps_spark import TIER_SECONDS
+from spinterps_spark.compress.gorilla import encode_tier_chunks
+from spinterps_spark.operators.gapfill import gapfill_virtual_chunks
+from spinterps_spark.operators.rollup import (
+    DEFAULT_MIN_CNT, METRIC_COLS, base_rollup, rollup_tier)
+from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
+from spinterps_spark.plans.generations import current_rollup, tier_horizons
+from spinterps_spark.sources.tableformat import tier_tables
+
+
+def merge_rollup(old_rows: DataFrame, delta_rows: DataFrame, min_cnt: int) -> DataFrame:
+    """Merge two partial base-tier rollups of DISJOINT turn sets.
+
+    Exact because every metric column is a sum/count (a bucket present in
+    both sides re-sums; present in one passes through), and validity is a
+    pure function of the merged turn_cnt. NOT valid for coarser tiers,
+    whose validity counts valid lower buckets — the cascade recomputes
+    those from the merged finer tier instead (rollup_tier)."""
+    cols = ["conv_id", "bucket_ts", *METRIC_COLS]
+    merged = (
+        old_rows.select(*cols)
+        .unionByName(delta_rows.select(*cols))
+        .groupBy("conv_id", "bucket_ts")
+        .agg(*[F.sum(c).alias(c) for c in METRIC_COLS])
+    )
+    return merged.withColumn("valid", F.col("turn_cnt") >= F.lit(min_cnt))
+
+
+def run_refresh_pass(
+    spark,
+    new_turns: DataFrame,
+    out_dir: str,
+    tiers: tuple[str, ...] = ("1m", "1h"),
+    fill_metric: str = "tok_len_mean",
+    fill_method: str | None = "IDW",
+    coords: DataFrame | None = None,
+    vg_dim: DataFrame | None = None,
+    min_cnt: dict | None = None,
+    n_salt: int = 16,
+    n_waves: int = 2,
+    run_id: str | None = None,
+    fill_knobs: dict | None = None,
+    one_pass: bool = True,
+) -> dict:
+    """Merge `new_turns` into an existing tier store at `out_dir`.
+
+    `tiers` must be the store's cascade order (finest first, as the
+    pipeline wrote it). fill_method=None encodes the merged valid series
+    directly (stores written without gap fill); otherwise the affected
+    conversations are re-filled with the same conv-local kernel the
+    pipeline uses, which makes refresh-then-read bit-identical to a full
+    pipeline rerun over the union of all turns (tests/test_refresh.py).
+
+    Returns a metrics dict: affected conv count, per-tier rows merged and
+    chunks published, wall time.
+    """
+    run_id = run_id or new_run_id()
+    t0 = time.time()
+    min_cnt = min_cnt or {}
+    fill_knobs = dict(fill_knobs or {})
+    ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
+    rfmt = tier_tables(spark, os.path.join(out_dir, "rollup"))
+    cfmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
+    horizons = tier_horizons(spark, out_dir)
+
+    # the affected-conv list is PART of the published metadata: readers
+    # resolve latest-wins with it (generations.read_current), so it lives
+    # next to the delta under a run-keyed path and is written once.
+    convs_loc = os.path.join(out_dir, f"refresh/run={run_id}/convs")
+    convs = new_turns.select("conv_id").distinct()
+    if not os.path.isdir(convs_loc):
+        convs.write.mode("overwrite").parquet(convs_loc)
+    convs = spark.read.parquet(convs_loc)
+    n_convs = convs.count()
+    if n_convs == 0:
+        # an empty late-data batch must not grow the delta chain: every
+        # published delta adds an anti join to every future read until the
+        # next compaction flattens it
+        return {"run_id": run_id, "n_affected_convs": 0, "tiers": {},
+                "wall_sec": time.time() - t0}
+
+    metrics: dict = {"run_id": run_id, "n_affected_convs": n_convs, "tiers": {}}
+    lower_merged: DataFrame | None = None
+    for tier in tiers:
+        t_tier = time.time()
+        mc = min_cnt.get(tier, DEFAULT_MIN_CNT[tier])
+        stage = f"refresh:{tier}"
+        roll_loc = os.path.join(out_dir, f"rollup_refresh/tier={tier}/gen={run_id}")
+        chunk_loc = os.path.join(out_dir, f"chunks_refresh/tier={tier}/gen={run_id}")
+
+        if rfmt.committed(run_id, stage):
+            merged = spark.read.parquet(os.path.join(roll_loc, "wave=*"))
+        else:
+            if lower_merged is None:
+                # base tier: merge partial aggregates — history cost is the
+                # affected convs' EXISTING rollup rows, not their raw turns
+                old = current_rollup(spark, out_dir, tier)
+                if old is None:
+                    raise ValueError(
+                        f"refresh: no committed rollup for tier={tier} under "
+                        f"{out_dir} — run the pipeline first"
+                    )
+                old_aff = old.join(F.broadcast(convs), "conv_id", "semi")
+                delta = base_rollup(new_turns, tier, n_salt=n_salt, min_cnt=mc)
+
+                def make(sub, _old=old_aff, _mc=mc):
+                    # waves split by conv hash; the merge groups by conv, so
+                    # per-wave merge(old_wave, delta_wave) == global merge
+                    return merge_rollup(
+                        _old.join(
+                            F.broadcast(sub.select("conv_id").distinct()),
+                            "conv_id", "semi",
+                        ),
+                        sub, _mc,
+                    )
+
+                merged = run_waved_pass(
+                    spark, delta, make, roll_loc, ckpt, run_id,
+                    f"refresh_rollup:{tier}", n_waves=n_waves, one_pass=one_pass,
+                )
+            else:
+                # coarser tiers recompute from the merged finer tier
+                # (validity counts valid lower buckets — not mergeable)
+                def make(sub, _tier=tier, _mc=mc):
+                    return rollup_tier(sub, _tier, min_cnt=_mc)
+
+                merged = run_waved_pass(
+                    spark, lower_merged, make, roll_loc, ckpt, run_id,
+                    f"refresh_rollup:{tier}", n_waves=n_waves, one_pass=one_pass,
+                )
+            rfmt.commit_tier(tier, merged, roll_loc, {
+                "run_id": run_id, "stage": stage,
+                "convs_location": convs_loc, "n_affected_convs": n_convs,
+            })
+
+        if not cfmt.committed(run_id, stage):
+            ser = merged.where(F.col("valid")).select(
+                "conv_id", "bucket_ts",
+                (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
+            )
+            hz = horizons.get(tier)
+            if hz is not None:
+                # never resurrect aged-out points into the serving layer
+                ser = ser.where(F.unix_timestamp("bucket_ts") >= F.lit(int(hz)))
+
+            if fill_method is None:
+                def chunk(sub, _tier=tier):
+                    return encode_tier_chunks(
+                        sub.withColumnRenamed(fill_metric, "value_filled"),
+                        _tier,
+                    )
+            else:
+                def chunk(sub, _tier=tier):
+                    return gapfill_virtual_chunks(
+                        sub, fill_metric, method=fill_method, tier=_tier,
+                        coords=coords, vg_dim=vg_dim,
+                        chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
+                        **{k: v for k, v in fill_knobs.items()
+                           if k not in ("chunk_buckets", "pad_buckets")},
+                    )
+
+            chunks = run_waved_pass(
+                spark, ser, chunk, chunk_loc, ckpt, run_id,
+                f"refresh_chunks:{tier}", n_waves=n_waves, one_pass=one_pass,
+            )
+            cfmt.commit_tier(tier, chunks, chunk_loc, {
+                "run_id": run_id, "stage": stage,
+                "convs_location": convs_loc, "n_affected_convs": n_convs,
+                "horizon_ts": int(hz) if hz is not None else 0,
+            })
+            metrics["tiers"][tier] = {
+                "commit": "published", "wall_sec": time.time() - t_tier,
+            }
+        else:
+            metrics["tiers"][tier] = {
+                "commit": "skipped", "wall_sec": time.time() - t_tier,
+            }
+        lower_merged = merged
+
+    metrics["wall_sec"] = time.time() - t0
+    return metrics

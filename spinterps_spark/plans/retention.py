@@ -91,7 +91,12 @@ def run_retention_pass(
         return {"run_id": run_id, "tier": tier, "commit": "skipped",
                 "wall_sec": time.time() - t0}
 
-    src = spark.read.parquet(os.path.join(out_dir, f"chunks/tier={tier}", "wave=*"))
+    # rewrite FROM the current merged view (not the original layout dir):
+    # this folds any refresh deltas into the new generation and keeps the
+    # generation chain monotone — a retention pass after a refresh must not
+    # resurrect superseded conv versions, and one after a compaction must
+    # not discard its clustering.
+    src = read_tier_chunks(spark, out_dir, tier)
     if "chunk_size" not in src.columns:
         raise ValueError(
             f"retention: chunk table for tier={tier} lacks the chunk_size "
@@ -136,20 +141,17 @@ def run_retention_pass(
     }
 
 
-def tier_location(spark, out_dir: str, tier: str) -> str:
-    """Glob path of the tier's CURRENT chunk generation: the latest
-    committed one (retention or compaction — whichever published last),
-    else the pipeline's original chunk directory."""
-    fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
-    snaps = [s for s in fmt.snapshots() if s.get("tier") == tier]
-    if snaps:
-        return os.path.join(snaps[-1]["data_location"], "wave=*")
-    return os.path.join(out_dir, f"chunks/tier={tier}", "wave=*")
-
-
 def read_tier_chunks(spark, out_dir: str, tier: str):
-    """Current chunk table for a tier: the latest published generation if a
-    retention/compaction pass has been committed, else the pipeline's
-    original chunk directory. This is the reader the atomic commit flip
-    protects."""
-    return spark.read.parquet(tier_location(spark, out_dir, tier))
+    """Current chunk table for a tier: the latest published full generation
+    (retention/compaction) plus any refresh deltas since it, resolved
+    latest-wins per conv_id (plans/generations.py); the pipeline's original
+    chunk directory when nothing was ever published. This is the reader the
+    atomic commit flip protects."""
+    from spinterps_spark.plans.generations import current_chunks
+
+    df = current_chunks(spark, out_dir, tier)
+    if df is None:
+        raise FileNotFoundError(
+            f"no chunk data for tier={tier} under {out_dir}"
+        )
+    return df

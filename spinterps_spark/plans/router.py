@@ -23,8 +23,8 @@ tier was never retained). Ranges older than every available tier's horizon
 are genuinely gone — retention semantics, served by nobody. Each leg is a
 PRUNED cube read (compress/gorilla.read_chunks_pruned: conv/time selection
 lands on parquet row-group stats BELOW the decode), against the tier's
-CURRENT generation (plans/retention.tier_location — so the router composes
-with compaction transparently).
+CURRENT merged view (plans/generations.current_chunks — so the router
+composes transparently with compaction AND with refresh deltas).
 
 100-TB scale: the routing decision reads only the snapshot log (KBs); each
 leg decodes only the chunks its pruned scan survives; legs are disjoint
@@ -37,31 +37,14 @@ slice — against a DuckDB twin recomputing both rollups from raw turns.
 
 from __future__ import annotations
 
-import glob as _glob
-import os
-
 from pyspark.sql import functions as F
 
 from spinterps_spark import TIER_SECONDS, TIERS
 from spinterps_spark.compress.gorilla import read_chunks_pruned
-from spinterps_spark.plans.retention import tier_location
-from spinterps_spark.sources.tableformat import tier_tables
+from spinterps_spark.plans.generations import (
+    current_chunks, tier_horizons)  # re-exported: the router's public pair
 
-
-def tier_horizons(spark, out_dir: str) -> dict[str, int]:
-    """Latest committed retention horizon per tier (epoch seconds).
-    Tiers never retained are absent (horizon 0 = holds all history)."""
-    fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
-    out: dict[str, int] = {}
-    for s in fmt.snapshots():
-        t = s.get("tier")
-        if t and s.get("stage") == f"retention:{t}":
-            out[t] = int(s["horizon_ts"])  # snapshots are append-ordered
-    return out
-
-
-def _has_chunks(loc_glob: str) -> bool:
-    return any(_glob.glob(loc_glob))
+__all__ = ["query_range", "tier_horizons"]
 
 
 def query_range(
@@ -88,15 +71,15 @@ def query_range(
             continue  # finer than requested: never read
         if hi < lo_req:
             break
-        loc = tier_location(spark, out_dir, tier)
-        if not _has_chunks(loc):
+        rows = current_chunks(spark, out_dir, tier)
+        if rows is None:
             continue
         lo = max(lo_req, horizons.get(tier, 0))
         if lo > hi:
             continue  # tier's whole holding is newer than the remaining range
         legs.append(
             read_chunks_pruned(
-                spark, loc, tier, conv_ids=conv_ids, t_min=lo, t_max=hi
+                spark, rows, tier, conv_ids=conv_ids, t_min=lo, t_max=hi
             ).select("conv_id", "tier", "bucket_ts", "value")
         )
         hi = lo - 1  # older range falls through to the next coarser tier

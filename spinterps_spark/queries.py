@@ -1837,6 +1837,15 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
       snapshot log), and the pre-midpoint band is aged out of every tier
       (served by nobody). The leg name carries WHICH tier served each
       row, so the hash locks the routing decision, not just the values.
+    - leg 'refresh' (r6, the incremental continuous-aggregate driver-gate
+      row): a separate 1h store is built WITHOUT the affected convs'
+      post-midpoint buckets, retained at the midpoint, then
+      plans/refresh.run_refresh_pass merges those turns back in — partial-
+      aggregate merge, published as a latest-wins delta, trimmed at the
+      committed retention horizon. The twin recomputes both slices from
+      raw turns, so the hash breaks if the merge double-counts, the
+      latest-wins read serves a stale conv version, or the refresh
+      resurrects aged-out points.
     """
     import tempfile
 
@@ -1891,6 +1900,39 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     h34 = b.mn + (b.mx - b.mn) * 3 // 4
     run_retention_pass(spark, base, "1m", h34, run_id="qr", n_waves=2)
     routed = query_range(spark, base, b.mn, b.mx, resolution="1m")
+    # refresh leg: a SEPARATE 1h store built with the affected convs'
+    # post-midpoint buckets HELD OUT, retained at the midpoint, then
+    # incrementally refreshed with them (plans/refresh.py, fill_method=None
+    # to match this composite's no-fill encode). Unaffected convs keep the
+    # chunk-window retention rule; refreshed convs are re-encoded from the
+    # merged rollup trimmed exactly at the committed horizon — the hash
+    # locks merge exactness, latest-wins reads, and horizon compliance.
+    from spinterps_spark.plans.refresh import run_refresh_pass
+    from spinterps_spark.sources.tableformat import tier_tables
+
+    base_f = f"{base}/refresh_store"
+    t_all = _t(spark, sf_dir)
+    mid = b.mn + (b.mx - b.mn) // 2
+    dpred = (F.substring(F.md5("conv_id"), 1, 1) >= "c") & (
+        F.unix_timestamp(R.bucket_ts_col(F.col("ts"), "1h")) >= F.lit(mid)
+    )
+    old_roll = R.base_rollup(t_all.where(~dpred), "1h")
+    old_roll.write.parquet(f"{base_f}/rollup/tier=1h/wave=0")
+    tier_tables(spark, f"{base_f}/rollup").commit_tier(
+        "1h", None, f"{base_f}/rollup/tier=1h",
+        {"run_id": "qf0", "stage": "rollup:1h"},
+    )
+    encode_tier_chunks(
+        old_roll.select(
+            "conv_id", "bucket_ts",
+            (F.col("tok_len_sum") / F.col("turn_cnt")).alias("value_filled"),
+        ),
+        "1h",
+    ).write.parquet(f"{base_f}/chunks/tier=1h/wave=0")
+    run_retention_pass(spark, base_f, "1h", mid, run_id="qf1", n_waves=2)
+    run_refresh_pass(spark, t_all.where(dpred), base_f, tiers=("1h",),
+                     fill_method=None, n_waves=2, run_id="qf2")
+    refreshed = decode_tier_chunks(read_tier_chunks(spark, base_f, "1h"))
     return full.select(
         F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
     ).unionAll(pruned.select(
@@ -1902,6 +1944,8 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     )).unionAll(routed.select(
         F.concat(F.lit("route_"), F.col("tier")).alias("leg"),
         "conv_id", "bucket_ts", "value",
+    )).unionAll(refreshed.select(
+        F.lit("refresh").alias("leg"), "conv_id", "bucket_ts", "value"
     ))
 
 
@@ -1952,6 +1996,20 @@ SELECT 'route_1h' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
 WHERE CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
   AND CAST(epoch(bucket_ts) AS BIGINT) < mn + (mx - mn) * 3 // 4
+UNION ALL
+-- refresh leg: unaffected convs (md5[0] < 'c') keep the chunk-window
+-- retention rule at the midpoint; refreshed convs are re-encoded from the
+-- merged rollup (== the full rollup) trimmed exactly at the horizon
+SELECT 'refresh' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE substring(md5(conv_id), 1, 1) < 'c'
+  AND (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
+      > mn + (mx - mn) // 2
+UNION ALL
+SELECT 'refresh' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE substring(md5(conv_id), 1, 1) >= 'c'
+  AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
 """
 )
 

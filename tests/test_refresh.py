@@ -1,0 +1,197 @@
+"""Incremental continuous-aggregate refresh (plans/refresh.py).
+
+Ground truth at every stage: a FULL pipeline run over the union of turns
+ingested so far. Refresh must make the incrementally-maintained store
+bit-identical to that (merge of partial aggregates is exact; gap fill is
+conv-local), at delta cost, without touching base files, composing with
+compaction (flattens the delta chain) and retention (never resurrects aged
+points).
+
+Contract note: a refresh delta is NEW turns (not yet in the store) — the
+batch path merges partial aggregates, so re-delivering already-merged turns
+would double-count; exactly-once de-dup on redelivery is the streaming
+path's job (streaming/ingest.py watermark-bounded dedup).
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spinterps_spark import datagen
+from spinterps_spark.compress.gorilla import decode_tier_chunks
+from spinterps_spark.plans.compaction import run_compaction_pass
+from spinterps_spark.plans.generations import generation_plan
+from spinterps_spark.plans.pipeline import run_retention_pipeline
+from spinterps_spark.plans.refresh import run_refresh_pass
+from spinterps_spark.plans.retention import read_tier_chunks, run_retention_pass
+from spinterps_spark.sources.tableformat import tier_tables
+
+TIERS = ("1m", "1h")
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    """Turn slices (cuts hour-aligned so 1m AND 1h buckets split cleanly):
+
+        old = everything except the deltas
+        d1  = convs with md5[0] >= 'c', ts in [cut, t34)   (history both sides)
+        d2  = same convs,               ts >= t34          (chained refresh)
+        d3  = convs with md5[0] in [8,b], ts >= cut        (post-retention)
+
+    Ground-truth stores: m = pipeline(old+d1), n = pipeline(old+d1+d2),
+    b = pipeline(all). The incremental store a = pipeline(old) + refreshes.
+    """
+    base = tmp_path_factory.mktemp("refresh")
+    t = datagen.transcripts_spark(spark, seed=31, n_turns_target=4000)
+    bounds = t.agg(F.min(F.unix_timestamp("ts")).alias("mn"),
+                   F.max(F.unix_timestamp("ts")).alias("mx")).first()
+    cut = ((bounds.mn + (bounds.mx - bounds.mn) // 2) // 3600) * 3600
+    t34 = ((bounds.mn + (bounds.mx - bounds.mn) * 3 // 4) // 3600) * 3600
+    h = F.substring(F.md5("conv_id"), 1, 1)
+    e = F.unix_timestamp("ts")
+    p1 = (h >= "c") & (e >= cut) & (e < t34)
+    p2 = (h >= "c") & (e >= t34)
+    p3 = h.between("8", "b") & (e >= cut)
+    slices = {
+        "old": t.where(~(p1 | p2 | p3)),
+        "d1": t.where(p1), "d2": t.where(p2), "d3": t.where(p3),
+    }
+    dirs = {k: str(base / k) for k in ("a", "m", "n", "b")}
+    gt = {
+        "a": slices["old"],
+        "m": slices["old"].unionByName(slices["d1"]),
+        "n": slices["old"].unionByName(slices["d1"]).unionByName(slices["d2"]),
+        "b": t,
+    }
+    for k, src in gt.items():
+        run_retention_pipeline(spark, src, dirs[k], tiers=TIERS, n_waves=2,
+                               gorilla=True, fuse_fill_and_chunks=True,
+                               run_id=f"gt-{k}")
+    base_files = sorted(glob.glob(f"{dirs['a']}/chunks/tier=*/wave=*/*.parquet"))
+    base_stat = [(p, os.path.getmtime(p)) for p in base_files]
+
+    m1 = run_refresh_pass(spark, slices["d1"], dirs["a"], tiers=TIERS,
+                          n_waves=2, run_id="r1")
+    return {"dirs": dirs, "slices": slices, "cut": cut,
+            "base_stat": base_stat, "m1": m1}
+
+
+def _points(spark, d, tier):
+    return (
+        decode_tier_chunks(read_tier_chunks(spark, d, tier))
+        .select("conv_id", "bucket_ts", "value")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("tier", TIERS)
+def test_refresh_equals_full_recompute(spark, stores, tier):
+    got = _points(spark, stores["dirs"]["a"], tier)
+    want = _points(spark, stores["dirs"]["m"], tier)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_base_files_untouched_and_delta_bounded(spark, stores):
+    # write amplification = the delta generations, not the base store
+    for p, mtime in stores["base_stat"]:
+        assert os.path.getmtime(p) == mtime, f"base file rewritten: {p}"
+    n_aff = stores["m1"]["n_affected_convs"]
+    assert n_aff > 0
+    fmt = tier_tables(spark, os.path.join(stores["dirs"]["a"], "chunks"))
+    for tier in TIERS:
+        _, deltas = generation_plan(
+            fmt, tier,
+            os.path.join(stores["dirs"]["a"], f"chunks/tier={tier}", "wave=*"))
+        assert len(deltas) == 1 and int(deltas[0]["n_affected_convs"]) == n_aff
+        dd = spark.read.parquet(
+            os.path.join(deltas[0]["data_location"], "wave=*"))
+        assert dd.select("conv_id").distinct().count() <= n_aff
+
+
+def test_empty_delta_publishes_nothing(spark, stores):
+    """An empty late-data batch must not grow the delta chain (every delta
+    adds an anti join to every future read until compaction flattens it)."""
+    fmt = tier_tables(spark, os.path.join(stores["dirs"]["a"], "chunks"))
+    n_before = len(fmt.snapshots())
+    m = run_refresh_pass(spark, stores["slices"]["d1"].limit(0),
+                         stores["dirs"]["a"], tiers=TIERS, n_waves=2,
+                         run_id="r0")
+    assert m["n_affected_convs"] == 0 and m["tiers"] == {}
+    assert len(fmt.snapshots()) == n_before
+
+
+def test_same_run_id_rerun_is_noop(spark, stores):
+    fmt = tier_tables(spark, os.path.join(stores["dirs"]["a"], "chunks"))
+    n_before = len(fmt.snapshots())
+    m = run_refresh_pass(spark, stores["slices"]["d1"], stores["dirs"]["a"],
+                         tiers=TIERS, n_waves=2, run_id="r1")
+    assert all(v["commit"] == "skipped" for v in m["tiers"].values())
+    assert len(fmt.snapshots()) == n_before
+
+
+def test_chained_refresh_latest_wins(spark, stores):
+    """d2 re-touches the SAME convs as d1: r2's delta rows must supersede
+    r1's (latest-wins), and the r2 merge must start from r1's merged rollup
+    rows, not the base — both wrong states would fail the exact compare."""
+    run_refresh_pass(spark, stores["slices"]["d2"], stores["dirs"]["a"],
+                     tiers=TIERS, n_waves=2, run_id="r2")
+    for tier in TIERS:
+        pd.testing.assert_frame_equal(
+            _points(spark, stores["dirs"]["a"], tier),
+            _points(spark, stores["dirs"]["n"], tier),
+            check_exact=True)
+    fmt = tier_tables(spark, os.path.join(stores["dirs"]["a"], "chunks"))
+    _, deltas = generation_plan(
+        fmt, "1h", os.path.join(stores["dirs"]["a"], "chunks/tier=1h", "wave=*"))
+    assert [d["run_id"] for d in deltas] == ["r1", "r2"]
+
+
+def test_compaction_flattens_delta_chain(spark, stores):
+    dir_a = stores["dirs"]["a"]
+    before = {t: _points(spark, dir_a, t) for t in TIERS}
+    for tier in TIERS:
+        run_compaction_pass(spark, dir_a, tier, target_file_mb=1,
+                            run_id=f"c-{tier}")
+        fmt = tier_tables(spark, os.path.join(dir_a, "chunks"))
+        _, deltas = generation_plan(
+            fmt, tier, os.path.join(dir_a, f"chunks/tier={tier}", "wave=*"))
+        assert deltas == []  # full rewrite supersedes the chain
+        pd.testing.assert_frame_equal(
+            _points(spark, dir_a, tier), before[tier], check_exact=True)
+
+
+def test_refresh_after_retention_respects_horizon(spark, stores):
+    """Runs LAST: age the 1m tier at the cut, then refresh d3 — refreshed
+    convs must NOT resurrect pre-horizon points (even though their rollup
+    rows, the never-retained system of record, hold full history), and
+    their surviving points must match the all-turns ground truth."""
+    dir_a, hz = stores["dirs"]["a"], stores["cut"]
+    run_retention_pass(spark, dir_a, "1m", hz, run_id="ret", n_waves=2)
+    d3 = stores["slices"]["d3"]
+    assert d3.count() > 0
+    run_refresh_pass(spark, d3, dir_a, tiers=TIERS, n_waves=2, run_id="r3")
+
+    d3_convs = set(r[0] for r in d3.select("conv_id").distinct().collect())
+    got = _points(spark, dir_a, "1m")
+    got_aff = got[got["conv_id"].isin(d3_convs)].reset_index(drop=True)
+    assert int((got_aff["bucket_ts"].astype("int64") // 10**9).min()) >= hz
+
+    want = _points(spark, stores["dirs"]["b"], "1m")
+    want_aff = want[
+        want["conv_id"].isin(d3_convs)
+        & (want["bucket_ts"].astype("int64") // 10**9 >= hz)
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_aff, want_aff, check_exact=True)
+    # the untouched convs' 1h tier still matches the pre-d3 ground truth
+    got_1h = _points(spark, dir_a, "1h")
+    keep = ~got_1h["conv_id"].isin(d3_convs)
+    want_1h = _points(spark, stores["dirs"]["n"], "1h")
+    pd.testing.assert_frame_equal(
+        got_1h[keep].reset_index(drop=True),
+        want_1h[~want_1h["conv_id"].isin(d3_convs)].reset_index(drop=True),
+        check_exact=True)

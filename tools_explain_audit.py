@@ -268,6 +268,42 @@ def main():
                      ["rangepartitioning", "Sort",
                       "python nodes above the range exchange: 0"]))
 
+    # r6: merged-generation read (refresh delta chain, plans/generations):
+    # the latest-wins resolution must stay metadata+broadcast-shaped — base
+    # scan anti-joined against the (tiny, broadcast) affected-conv list,
+    # unioned with the delta scan — and the pruned read's chunk_start_ts
+    # range filter must still push below BOTH legs to the parquet
+    # row-group stats. No shuffle may appear anywhere in the read.
+    import tempfile
+
+    from spinterps_spark.compress.gorilla import read_chunks_pruned
+    from spinterps_spark.plans.generations import current_chunks
+    from spinterps_spark.sources.tableformat import tier_tables
+
+    d20 = tempfile.mkdtemp(prefix="explain_gen_")
+    chunks19.write.parquet(f"{d20}/chunks/tier=1h/wave=0")
+    aff = chunks19.where(F.substring(F.md5("conv_id"), 1, 1) >= "c")
+    aff.write.parquet(f"{d20}/chunks_refresh/tier=1h/gen=r1/wave=0")
+    aff.select("conv_id").distinct().write.parquet(f"{d20}/refresh/run=r1/convs")
+    tier_tables(spark, f"{d20}/chunks").commit_tier(
+        "1h", None, f"{d20}/chunks_refresh/tier=1h/gen=r1",
+        {"run_id": "r1", "stage": "refresh:1h",
+         "convs_location": f"{d20}/refresh/run=r1/convs"},
+    )
+    p20 = plan_of(read_chunks_pruned(
+        spark, current_chunks(spark, d20, "1h"), "1h",
+        t_min=1_700_000_000, t_max=1_760_000_000,
+    ))
+    n_shuffle20 = p20.count("Exchange") - p20.count("BroadcastExchange")
+    p20 = (f"(non-broadcast exchanges: {n_shuffle20} — must be 0; "
+           "latest-wins resolution is a broadcast anti join, never a "
+           "shuffle)\n") + p20
+    sections.append(("Merged-generation read (r6: refresh deltas, "
+                     "latest-wins via broadcast anti join)", p20,
+                     ["LeftAnti", "BroadcastExchange", "Union",
+                      "GreaterThanOrEqual(chunk_start_ts",
+                      "non-broadcast exchanges: 0"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

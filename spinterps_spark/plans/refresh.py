@@ -85,6 +85,8 @@ def run_refresh_pass(
     run_id: str | None = None,
     fill_knobs: dict | None = None,
     one_pass: bool = True,
+    drift: DataFrame | None = None,
+    drift_cols: list[str] | None = None,
 ) -> dict:
     """Merge `new_turns` into an existing tier store at `out_dir`.
 
@@ -98,6 +100,12 @@ def run_refresh_pass(
     Returns a metrics dict: affected conv count, per-tier rows merged and
     chunks published, wall time.
     """
+    if (drift is None) != (not drift_cols):
+        raise ValueError(
+            "drift and drift_cols go together (same contract as "
+            "run_retention_pipeline): the drift table must hold a row for "
+            "every spine bucket of every refreshed tier"
+        )
     run_id = run_id or new_run_id()
     t0 = time.time()
     min_cnt = min_cnt or {}
@@ -198,6 +206,7 @@ def run_refresh_pass(
                     return gapfill_virtual_chunks(
                         sub, fill_metric, method=fill_method, tier=_tier,
                         coords=coords, vg_dim=vg_dim,
+                        drift=drift, drift_cols=drift_cols,
                         chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
                         **{k: v for k, v in fill_knobs.items()
                            if k not in ("chunk_buckets", "pad_buckets")},

@@ -165,6 +165,37 @@ def test_compaction_flattens_delta_chain(spark, stores):
             _points(spark, dir_a, tier), before[tier], check_exact=True)
 
 
+def test_refresh_ok_kriging_equals_full_recompute(spark, tmp_path):
+    """The flagship fill (ordinary kriging, per-cluster variogram weights)
+    rides refresh too: conv-local kernel + identical merged inputs ->
+    bit-identical to the full pipeline."""
+    from spinterps_spark import datagen as DG
+
+    t = DG.transcripts_spark(spark, seed=13, n_turns_target=2000)
+    n_convs = len(DG.plan_sizes(13, 2000))
+    coords = DG.conv_coords_spark(spark, 13, n_convs)
+    vg = spark.createDataFrame(
+        [(c, "1.0 Sph(7200.0)") for c in range(8)],
+        "cluster_id int, vg_str string")
+    bounds = t.agg(F.min(F.unix_timestamp("ts")).alias("mn"),
+                   F.max(F.unix_timestamp("ts")).alias("mx")).first()
+    cut = ((bounds.mn + (bounds.mx - bounds.mn) // 8) // 3600) * 3600
+    pred = (F.substring(F.md5("conv_id"), 1, 1) >= "c") & (
+        F.unix_timestamp("ts") >= F.lit(cut))
+    da, db = str(tmp_path / "incr"), str(tmp_path / "full")
+    for d, src in ((da, t.where(~pred)), (db, t)):
+        run_retention_pipeline(spark, src, d, tiers=("1m",), n_waves=2,
+                               gorilla=True, fuse_fill_and_chunks=True,
+                               fill_method="OK", coords=coords, vg_dim=vg,
+                               run_id="gt")
+    m = run_refresh_pass(spark, t.where(pred), da, tiers=("1m",),
+                         fill_method="OK", coords=coords, vg_dim=vg,
+                         n_waves=2, run_id="rok")
+    assert m["n_affected_convs"] > 0
+    pd.testing.assert_frame_equal(
+        _points(spark, da, "1m"), _points(spark, db, "1m"), check_exact=True)
+
+
 def test_refresh_after_retention_respects_horizon(spark, stores):
     """Runs LAST: age the 1m tier at the cut, then refresh d3 — refreshed
     convs must NOT resurrect pre-horizon points (even though their rollup

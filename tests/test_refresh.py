@@ -196,6 +196,52 @@ def test_refresh_ok_kriging_equals_full_recompute(spark, tmp_path):
         _points(spark, da, "1m"), _points(spark, db, "1m"), check_exact=True)
 
 
+def test_crash_between_rollup_and_chunk_commit_resumes(spark, tmp_path):
+    """Refresh publishes into TWO snapshot logs (rollup, chunks). Simulate a
+    crash after the rollup-delta commit but before the chunk commit: wipe
+    the chunk delta + its snapshot line, re-run the same run_id — the pass
+    must reuse the published rollup delta, recompute only the chunks, and
+    converge to the full-recompute state."""
+    import shutil
+
+    from spinterps_spark import datagen as DG
+
+    t = DG.transcripts_spark(spark, seed=19, n_turns_target=2000)
+    bounds = t.agg(F.min(F.unix_timestamp("ts")).alias("mn"),
+                   F.max(F.unix_timestamp("ts")).alias("mx")).first()
+    cut = ((bounds.mn + (bounds.mx - bounds.mn) // 8) // 3600) * 3600
+    pred = (F.substring(F.md5("conv_id"), 1, 1) >= "c") & (
+        F.unix_timestamp("ts") >= F.lit(cut))
+    da, db = str(tmp_path / "incr"), str(tmp_path / "full")
+    for d, src in ((da, t.where(~pred)), (db, t)):
+        run_retention_pipeline(spark, src, d, tiers=("1m",), n_waves=2,
+                               gorilla=True, fuse_fill_and_chunks=True,
+                               run_id="gt")
+    run_refresh_pass(spark, t.where(pred), da, tiers=("1m",), n_waves=2,
+                     run_id="rc")
+
+    # surgically revert the CHUNK side to the pre-commit crash state
+    shutil.rmtree(os.path.join(da, "chunks_refresh/tier=1m/gen=rc"))
+    clog = os.path.join(da, "chunks", "_snapshots.jsonl")
+    with open(clog) as f:
+        lines = [ln for ln in f if '"run_id": "rc"' not in ln]
+    with open(clog, "w") as f:
+        f.writelines(lines)
+    # ...including the wave lineage rows of the chunk stage, as a crash
+    # before the write job finished would leave them absent
+    ck = spark.read.parquet(os.path.join(da, "ckpt"))
+    kept = ck.where("NOT (run_id = 'rc' AND tier = 'refresh_chunks:1m')")
+    kept.write.mode("overwrite").parquet(os.path.join(da, "ckpt_tmp"))
+    shutil.rmtree(os.path.join(da, "ckpt"))
+    os.rename(os.path.join(da, "ckpt_tmp"), os.path.join(da, "ckpt"))
+
+    m = run_refresh_pass(spark, t.where(pred), da, tiers=("1m",), n_waves=2,
+                         run_id="rc")
+    assert m["tiers"]["1m"]["commit"] == "published"
+    pd.testing.assert_frame_equal(
+        _points(spark, da, "1m"), _points(spark, db, "1m"), check_exact=True)
+
+
 def test_refresh_after_retention_respects_horizon(spark, stores):
     """Runs LAST: age the 1m tier at the cut, then refresh d3 — refreshed
     convs must NOT resurrect pre-horizon points (even though their rollup

@@ -41,32 +41,91 @@ from pyspark.sql import DataFrame, functions as F
 from spinterps_spark.sources.tableformat import tier_tables
 
 
-def generation_plan(fmt, tier: str, default_base: str):
+def _strip_scheme(loc: str) -> str:
+    return loc[7:] if loc.startswith("file://") else loc
+
+
+def generation_plan(fmt, tier: str, default_base: str, as_of: str | None = None):
     """Resolve the snapshot log into (base_glob, [refresh-delta snaps]).
 
     The base is the latest FULL generation's data (or `default_base`, the
     layout dir the pipeline writes, when none was ever published); the
     deltas are the refresh commits SINCE that generation, in commit order.
+
+    `as_of` is a commit_id: resolve the log as it stood at that commit
+    (inclusive) — Iceberg-style snapshot time travel. The read succeeds as
+    long as no later vacuum pass (plans/vacuum.py) expired the generations
+    that snapshot referenced. Raises KeyError when the commit_id is not in
+    the tier's log.
     """
     base = default_base
     deltas: list[dict] = []
+    seen_as_of = as_of is None
     for s in fmt.snapshots():
         if s.get("tier") != tier:
             continue
-        if str(s.get("stage", "")).startswith("refresh:"):
+        stage = str(s.get("stage", ""))
+        if stage.startswith("vacuum:"):
+            # metadata-only expiry marker: neither base nor delta
+            continue
+        if stage.startswith("refresh:"):
             deltas.append(s)
         else:
             # a full rewrite was computed FROM the merged view, so it
             # already folds every earlier delta
             base = os.path.join(s["data_location"], "wave=*")
             deltas = []
+        if as_of is not None and s.get("commit_id") == as_of:
+            seen_as_of = True
+            break
+    if not seen_as_of:
+        raise KeyError(
+            f"as_of commit {as_of!r} not found in the tier={tier} log"
+        )
     return base, deltas
 
 
-def read_current(spark, fmt, tier: str, default_base: str) -> DataFrame | None:
-    """The tier's current content: base minus refreshed convs, plus each
-    delta latest-wins per conv_id. None when the tier holds nothing."""
-    base, deltas = generation_plan(fmt, tier, default_base)
+def _raise_if_expired(fmt, tier: str, as_of: str, missing: str):
+    """A time-travel read hit a missing generation dir: name the vacuum
+    commit that expired it (always present — vacuum commits before anyone
+    can observe the deletion as final)."""
+    import json as _json
+
+    for s in fmt.snapshots():
+        if s.get("tier") != tier or not str(s.get("stage", "")).startswith(
+            "vacuum:"
+        ):
+            continue
+        if missing in _json.loads(s.get("expired_locations", "[]")):
+            raise RuntimeError(
+                f"snapshot {as_of!r} of tier={tier} is no longer readable: "
+                f"generation {missing} was expired by vacuum run "
+                f"{s.get('run_id')!r} (commit {s.get('commit_id')!r}). "
+                "Raise keep_last on run_vacuum_pass to retain more history."
+            )
+    raise FileNotFoundError(
+        f"snapshot {as_of!r} of tier={tier}: generation data missing at "
+        f"{missing} (deleted outside the vacuum pass?)"
+    )
+
+
+def read_current(spark, fmt, tier: str, default_base: str,
+                 as_of: str | None = None) -> DataFrame | None:
+    """The tier's content: base minus refreshed convs, plus each delta
+    latest-wins per conv_id. None when the tier holds nothing. `as_of` a
+    commit_id reads the tier as of that snapshot (generation_plan) — with
+    an explicit expired-by-vacuum error instead of a silently partial
+    result when the old generation's files are gone."""
+    base, deltas = generation_plan(fmt, tier, default_base, as_of=as_of)
+    if as_of is not None:
+        # current-view reads never reference expired dirs (vacuum deletes
+        # only superseded generations); time travel can, so check before
+        # Spark turns a missing dir into an empty/partial scan
+        if base != default_base and not _glob.glob(base):
+            _raise_if_expired(fmt, tier, as_of, os.path.dirname(base))
+        for s in deltas:
+            if not os.path.isdir(_strip_scheme(s["data_location"])):
+                _raise_if_expired(fmt, tier, as_of, s["data_location"])
     base_df = spark.read.parquet(base) if _glob.glob(base) else None
     if not deltas:
         return base_df
@@ -88,20 +147,26 @@ def read_current(spark, fmt, tier: str, default_base: str) -> DataFrame | None:
     return out
 
 
-def current_chunks(spark, out_dir: str, tier: str) -> DataFrame | None:
-    """Merged current view of a tier's Gorilla chunk table."""
+def current_chunks(spark, out_dir: str, tier: str,
+                   as_of: str | None = None) -> DataFrame | None:
+    """Merged view of a tier's Gorilla chunk table — current, or as of the
+    snapshot `as_of` (a commit_id from the chunks log)."""
     fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
     return read_current(
-        spark, fmt, tier, os.path.join(out_dir, f"chunks/tier={tier}", "wave=*")
+        spark, fmt, tier,
+        os.path.join(out_dir, f"chunks/tier={tier}", "wave=*"), as_of=as_of,
     )
 
 
-def current_rollup(spark, out_dir: str, tier: str) -> DataFrame | None:
-    """Merged current view of a tier's rollup table (the system of record
-    the refresh pass merges new turn-deltas into)."""
+def current_rollup(spark, out_dir: str, tier: str,
+                   as_of: str | None = None) -> DataFrame | None:
+    """Merged view of a tier's rollup table (the system of record the
+    refresh pass merges new turn-deltas into) — current, or as of the
+    snapshot `as_of` (a commit_id from the rollup log)."""
     fmt = tier_tables(spark, os.path.join(out_dir, "rollup"))
     return read_current(
-        spark, fmt, tier, os.path.join(out_dir, f"rollup/tier={tier}", "wave=*")
+        spark, fmt, tier,
+        os.path.join(out_dir, f"rollup/tier={tier}", "wave=*"), as_of=as_of,
     )
 
 

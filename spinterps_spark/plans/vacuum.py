@@ -1,0 +1,286 @@
+"""Snapshot expiry (vacuum) + delta-chain flatten: bounded storage and
+bounded read metadata for the tier tables.
+
+Every maintenance pass in this engine is copy-on-write: retention and
+compaction publish new FULL generations (chunks_retained/, chunks_compacted/),
+refresh publishes merge-on-read DELTAS (rollup_refresh/, chunks_refresh/).
+Nothing ever deletes the superseded directories, so at a continuous-ingest
+cadence (a refresh per hour, a compaction per day) the store grows without
+bound even when the data does not — and the ROLLUP table never gets a full
+rewrite at all, so its delta chain (one broadcast anti join per delta on
+every read, plans/generations.read_current) grows monotonically. These two
+passes close the loop; together they are the Iceberg
+`expire_snapshots` + `rewrite_data_files`-on-the-aggregate-table analog:
+
+- ``run_flatten_pass``: materialize a tier's current merged view (base plus
+  all deltas, latest-wins) as ONE new full generation, published with one
+  metadata commit. Reads through generations.read_current collapse back to
+  a single parquet scan. Works on either table root; the rollup table is
+  the one with no other flattening path.
+- ``run_vacuum_pass``: delete the generation directories no snapshot within
+  the last `keep_last` full generations can reference, then record WHAT was
+  expired in a metadata-only ``vacuum:<tier>`` commit — so a later
+  time-travel read (generations.read_current(as_of=...)) that lands on an
+  expired snapshot fails with the expiring run named, never with a silently
+  partial scan.
+
+Crash safety mirrors the other passes, inverted: deletes are idempotent
+(missing dirs skip), the commit row is appended LAST. A crash mid-delete
+re-runs cleanly with the same run_id (the already-gone dirs are recomputed
+as expirable and skipped); a crash after the commit makes the re-run a
+no-op via the committed(run_id, stage) guard. Readers are never exposed to
+a partial state: vacuum only ever touches directories the CURRENT
+generation plan does not reference.
+
+Safety rails: only directories under `out_dir` whose path contains a
+``gen=`` segment (the managed generation layout) are ever deleted — the
+pipeline's original layout dirs (chunks/tier=*/wave=*, rollup/tier=*/wave=*)
+are not in the log and are never candidates. The refresh pass's
+affected-conv sidecars (refresh/run=*/convs) are reference-counted across
+BOTH table logs: a convs dir is deleted only when no live delta in either
+table still points at it.
+
+100-TB scale: both passes are metadata-driven — the expirable set is
+computed from the snapshot log (KBs, driver-side); flatten is one scan +
+one waved write of the merged view; vacuum moves zero data. The reference
+has no analog (its single netCDF cube is updated in place under a lock,
+interp/steps.py:895-949); a shared-nothing engine pays for its atomic
+copy-on-write commits with exactly this garbage-collection obligation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
+from spinterps_spark.plans.generations import read_current
+from spinterps_spark.sources.tableformat import tier_tables
+
+TABLE_ROOTS = ("rollup", "chunks")
+
+
+def _strip_scheme(loc: str) -> str:
+    return loc[7:] if loc.startswith("file://") else loc
+
+
+def _default_base(out_dir: str, table: str, tier: str) -> str:
+    return os.path.join(out_dir, f"{table}/tier={tier}", "wave=*")
+
+
+def run_flatten_pass(
+    spark,
+    out_dir: str,
+    tier: str,
+    table: str = "rollup",
+    run_id: str | None = None,
+    n_waves: int = 4,
+    one_pass: bool = True,
+) -> dict:
+    """Fold a tier's refresh-delta chain into one new full generation.
+
+    No-op (commit "noop") when the chain has no deltas: a flatten would
+    rewrite every byte to produce the identical merged view. Resumable at
+    the same two levels as retention/compaction: committed (run_id, stage)
+    skips the pass; a crash mid-write redoes only the missing waves.
+    """
+    if table not in TABLE_ROOTS:
+        raise ValueError(f"table must be one of {TABLE_ROOTS}, got {table!r}")
+    run_id = run_id or new_run_id()
+    t0 = time.time()
+    stage = f"flatten:{tier}"
+    fmt = tier_tables(spark, os.path.join(out_dir, table))
+    if fmt.committed(run_id, stage):
+        return {"run_id": run_id, "tier": tier, "table": table,
+                "commit": "skipped", "wall_sec": time.time() - t0}
+
+    from spinterps_spark.plans.generations import generation_plan
+
+    _, deltas = generation_plan(fmt, tier, _default_base(out_dir, table, tier))
+    if not deltas:
+        return {"run_id": run_id, "tier": tier, "table": table,
+                "commit": "noop", "n_deltas_folded": 0,
+                "wall_sec": time.time() - t0}
+
+    src = read_current(spark, fmt, tier, _default_base(out_dir, table, tier))
+    ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
+    gen_loc = os.path.join(out_dir, f"{table}_flat/tier={tier}/gen={run_id}")
+    flat = run_waved_pass(
+        spark, src, lambda sub: sub, gen_loc,
+        ckpt, run_id, f"flatten_{table}:{tier}",
+        n_waves=n_waves, one_pass=one_pass,
+    )
+    commit_id = fmt.commit_tier(
+        tier, flat, gen_loc,
+        {"run_id": run_id, "stage": stage, "n_deltas_folded": len(deltas)},
+    )
+    return {"run_id": run_id, "tier": tier, "table": table,
+            "commit": commit_id, "n_deltas_folded": len(deltas),
+            "wall_sec": time.time() - t0}
+
+
+def _tier_history(snaps: list[dict], tier: str) -> list[dict]:
+    """The tier's data-bearing commits in log order (vacuum rows skipped)."""
+    out = []
+    for s in snaps:
+        if s.get("tier") != tier:
+            continue
+        if str(s.get("stage", "")).startswith("vacuum:"):
+            continue
+        out.append(s)
+    return out
+
+
+def _expirable(history: list[dict], keep_last: int):
+    """Split a tier's history into (expired rows, kept rows).
+
+    Keep everything from the keep_last-th-most-recent FULL generation
+    onward: that full generation plus every later commit is exactly the
+    set a time-travel read within the retained window can reference.
+    Deltas BEFORE it are folded into it (generations.generation_plan
+    resets the delta list at each full rewrite) and full generations
+    before it are superseded — both unreferenced by any retained snapshot.
+    """
+    full_pos = [
+        i for i, s in enumerate(history)
+        if not str(s.get("stage", "")).startswith("refresh:")
+    ]
+    if len(full_pos) < keep_last:
+        # fewer full generations than the retention window: even the
+        # oldest deltas are still reachable from the default base
+        return [], history
+    cut = full_pos[len(full_pos) - keep_last]
+    return history[:cut], history[cut:]
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def run_vacuum_pass(
+    spark,
+    out_dir: str,
+    tiers: list[str] | tuple[str, ...] | None = None,
+    keep_last: int = 1,
+    run_id: str | None = None,
+) -> dict:
+    """Expire generation directories superseded beyond `keep_last` full
+    generations, on both table roots, and commit metadata-only
+    ``vacuum:<tier>`` rows recording what was removed.
+
+    keep_last=1 keeps only the current generation (plus its live deltas);
+    keep_last=N retains N full generations of time-travel history. The
+    original pipeline layout dirs are never candidates (they are not in the
+    snapshot log), and a convs sidecar shared by the rollup and chunks logs
+    is deleted only when neither table's kept rows reference it.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current generation "
+                         "is always retained)")
+    run_id = run_id or new_run_id()
+    t0 = time.time()
+    out_real = os.path.realpath(out_dir)
+
+    def managed(loc: str) -> str | None:
+        """Deletable path, or None for the pipeline's own layout dirs
+        (generation zero: rollup/tier=*, chunks/tier=* rows carry no gen=
+        segment and are kept forever — they are the default-base fallback
+        and the waved-write resume target). Anything OUTSIDE the store is
+        log corruption and refuses loudly."""
+        p = os.path.realpath(_strip_scheme(loc))
+        if not p.startswith(out_real + os.sep):
+            raise RuntimeError(
+                f"vacuum: refusing to delete {loc!r} — outside the store "
+                f"{out_dir}"
+            )
+        is_gen = "gen=" in p
+        is_convs = p.startswith(os.path.join(out_real, "refresh", "run="))
+        return p if (is_gen or is_convs) else None
+
+    fmts = {tb: tier_tables(spark, os.path.join(out_dir, tb))
+            for tb in TABLE_ROOTS}
+    snaps = {tb: fmts[tb].snapshots() for tb in TABLE_ROOTS}
+    if tiers is None:
+        tiers = sorted({
+            s["tier"] for tb in TABLE_ROOTS for s in snaps[tb]
+            if s.get("tier")
+            and not str(s.get("stage", "")).startswith("vacuum:")
+        })
+
+    plan: dict[tuple[str, str], tuple[list[dict], list[dict]]] = {}
+    for tb in TABLE_ROOTS:
+        for tier in tiers:
+            plan[(tb, tier)] = _expirable(
+                _tier_history(snaps[tb], tier), keep_last
+            )
+
+    # convs sidecars: refresh deltas in BOTH logs share one dir per run —
+    # live if ANY kept delta anywhere still points at it
+    live_convs = {
+        s["convs_location"]
+        for kept_pair in plan.values() for s in kept_pair[1]
+        if s.get("convs_location")
+    }
+
+    metrics: dict = {"run_id": run_id, "keep_last": keep_last, "tables": {}}
+    freed_total = 0
+    for (tb, tier), (expired, _kept) in plan.items():
+        if not expired:
+            continue
+        stage = f"vacuum:{tier}"
+        fmt = fmts[tb]
+        if fmt.committed(run_id, stage):
+            metrics["tables"].setdefault(tb, {})[tier] = {"commit": "skipped"}
+            continue
+        locs, skipped, freed = [], [], 0
+        for s in expired:
+            targets = [s["data_location"]]
+            cl = s.get("convs_location")
+            if cl and cl not in live_convs:
+                targets.append(cl)
+                live_convs.add(cl)  # both logs list it; delete/record once
+            for loc in targets:
+                p = managed(loc)
+                if p is None:
+                    skipped.append(loc)
+                    continue
+                if os.path.isdir(p):
+                    freed += _dir_bytes(p)
+                    shutil.rmtree(p)
+                locs.append(loc)
+        # data_location: the surviving base — keeps the low-level
+        # latest-commit reader (ParquetTierTables.read_tier) coherent
+        kept_full = [s for s in _kept
+                     if not str(s.get("stage", "")).startswith("refresh:")]
+        fmt.commit_tier(
+            tier, None, kept_full[-1]["data_location"] if kept_full
+            else os.path.join(out_dir, f"{tb}/tier={tier}"),
+            {
+                "run_id": run_id, "stage": stage,
+                "n_expired": len(expired),
+                "expired_locations": json.dumps(locs),
+                "skipped_unmanaged": json.dumps(skipped),
+                "expired_commit_ids": json.dumps(
+                    [s.get("commit_id") for s in expired]
+                ),
+                "bytes_freed": freed,
+            },
+        )
+        freed_total += freed
+        metrics["tables"].setdefault(tb, {})[tier] = {
+            "commit": "published", "n_expired": len(expired),
+            "bytes_freed": freed,
+        }
+
+    metrics["bytes_freed"] = freed_total
+    metrics["wall_sec"] = time.time() - t0
+    return metrics

@@ -304,6 +304,30 @@ def main():
                       "GreaterThanOrEqual(chunk_start_ts",
                       "non-broadcast exchanges: 0"]))
 
+    # r6: flatten (plans/vacuum.run_flatten_pass) folds the delta chain
+    # above into ONE full generation — the same read must collapse to a
+    # single parquet scan: zero join nodes, zero unions, pruned-read
+    # filters still pushed. This is the read-amplification bound: a
+    # continuously-refreshed table pays one anti join per delta until the
+    # next flatten, then none.
+    from spinterps_spark.plans.vacuum import run_flatten_pass
+
+    run_flatten_pass(spark, d20, "1h", table="chunks", run_id="fl-explain")
+    p21 = plan_of(read_chunks_pruned(
+        spark, current_chunks(spark, d20, "1h"), "1h",
+        t_min=1_700_000_000, t_max=1_760_000_000,
+    ))
+    n_join21 = p21.count("Join")
+    n_union21 = p21.count("Union")
+    p21 = (f"(join nodes: {n_join21}, union nodes: {n_union21} — both must "
+           "be 0 after the flatten; the delta chain is gone from the "
+           "plan)\n") + p21
+    sections.append(("Flattened-generation read (r6: delta chain folded, "
+                     "back to one pruned scan)", p21,
+                     ["join nodes: 0", "union nodes: 0",
+                      "GreaterThanOrEqual(chunk_start_ts",
+                      "Scan parquet"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

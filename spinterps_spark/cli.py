@@ -342,6 +342,36 @@ def cmd_refresh(args) -> int:
     return 0
 
 
+def cmd_flatten(args) -> int:
+    """Fold a tier's refresh-delta chain into one new full generation
+    (plans/vacuum.py): reads drop their per-delta anti joins and collapse
+    back to a single parquet scan. Noop when the chain is empty."""
+    from spinterps_spark.plans.vacuum import run_flatten_pass
+
+    spark = _spark("spinterps_spark.flatten")
+    metrics = run_flatten_pass(
+        spark, args.out, args.tier, table=args.table,
+        run_id=args.resume, n_waves=args.waves,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Expire generation directories superseded beyond --keep-last full
+    generations, on both table roots (plans/vacuum.py — the Iceberg
+    expire_snapshots analog). Time travel inside the kept window keeps
+    working; reads of expired snapshots fail naming the vacuum run."""
+    from spinterps_spark.plans.vacuum import run_vacuum_pass
+
+    spark = _spark("spinterps_spark.vacuum")
+    metrics = run_vacuum_pass(
+        spark, args.out, keep_last=args.keep_last, run_id=args.resume,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Routed time-range read: serve [--from, --to] at the finest stored
     resolution, falling through to coarser tiers past each retention
@@ -529,6 +559,29 @@ def main(argv=None) -> int:
     rf.add_argument("--waves", type=int, default=2)
     rf.add_argument("--resume", default=None, help="run_id to resume")
     rf.set_defaults(fn=cmd_refresh)
+
+    fl = sub.add_parser(
+        "flatten",
+        help="fold a tier's refresh-delta chain into one full generation "
+             "(single-scan reads again; resumable via --resume)")
+    fl.add_argument("--out", required=True,
+                    help="pipeline out_dir holding rollup/ + chunks/")
+    fl.add_argument("--tier", default="1m")
+    fl.add_argument("--table", default="rollup", choices=("rollup", "chunks"))
+    fl.add_argument("--waves", type=int, default=2)
+    fl.add_argument("--resume", default=None, help="run_id to resume")
+    fl.set_defaults(fn=cmd_flatten)
+
+    vc = sub.add_parser(
+        "vacuum",
+        help="expire generations superseded beyond --keep-last full "
+             "generations on both table roots (expire_snapshots analog)")
+    vc.add_argument("--out", required=True,
+                    help="pipeline out_dir holding rollup/ + chunks/")
+    vc.add_argument("--keep-last", dest="keep_last", type=int, default=1,
+                    help="full generations of time-travel history to keep")
+    vc.add_argument("--resume", default=None, help="run_id to resume")
+    vc.set_defaults(fn=cmd_vacuum)
 
     q = sub.add_parser(
         "query",

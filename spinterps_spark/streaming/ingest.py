@@ -404,3 +404,73 @@ def stream_curation(
     if langs:
         out = out.where(F.col("lang").isin(*langs))
     return out
+
+
+def stream_refresh(
+    spark,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    tiers: tuple[str, ...] = ("1m",),
+    fill_method: str | None = "IDW",
+    coords: DataFrame | None = None,
+    vg_dim: DataFrame | None = None,
+    n_waves: int = 2,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    run_prefix: str = "sr",
+):
+    """Continuous incremental refresh: the TimescaleDB continuous-aggregate
+    policy loop as ONE streaming query. Each micro-batch of newly-arrived
+    turns is merged into an existing tier store by
+    plans/refresh.run_refresh_pass (affected-conversation recompute only,
+    latest-wins delta publish), with the refresh run_id keyed by the
+    checkpointed batch_id.
+
+    Exactly-once across crash/restart by COMPOSING two commit logs, with
+    no new machinery: Structured Streaming's checkpoint pins each
+    batch_id to the same input files on redelivery, and the refresh
+    pass's snapshot-commit resume (same run_id+stage already committed ->
+    zero jobs) makes a redelivered batch a no-op — so a crash at any
+    point (mid-wave, between the rollup and chunk commits, after publish)
+    converges without ever double-merging a turn's partial aggregates.
+    This is exactly why the refresh contract demands NEW turns only: the
+    stream's at-least-once redelivery is absorbed by the run_id, not by
+    re-examining the data.
+
+    The store must be bootstrapped by run_retention_pipeline first (the
+    refresh pass raises on a tier with no committed rollup). Pair with a
+    periodic run_flatten_pass + run_vacuum_pass (plans/vacuum.py) to
+    bound the delta chain the stream accretes.
+    """
+    from spinterps_spark.plans.refresh import run_refresh_pass
+
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _merge(batch_df, batch_id):
+        # the pass scans the batch several times (conv list, per-tier
+        # merges); pin it so the file-source plan isn't re-resolved per
+        # action
+        batch_df.persist()
+        try:
+            run_refresh_pass(
+                batch_df.sparkSession, batch_df, store_dir, tiers=tiers,
+                fill_method=fill_method, coords=coords, vg_dim=vg_dim,
+                n_waves=n_waves, run_id=f"{run_prefix}-{batch_id}",
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -166,6 +166,24 @@ def main():
     out["refresh_typical_sec"] = round(time.time() - t0, 3)
     out["refresh_typical_affected_convs"] = rm2["n_affected_convs"]
     shutil.rmtree(ddir2, ignore_errors=True)
+
+    # ---- maintenance legs (late r6): fold the two refresh deltas the
+    # legs above published back into one full generation per table
+    # (plans/vacuum.run_flatten_pass — reads drop their per-delta anti
+    # joins), then expire everything superseded (run_vacuum_pass). The
+    # flatten cost is ONE scan+write of the 2M-turn tier; vacuum is
+    # metadata + rmdir, and bytes_freed is the storage the
+    # copy-on-write maintenance chain would otherwise leak forever.
+    from spinterps_spark.plans.vacuum import run_flatten_pass, run_vacuum_pass
+
+    t0 = time.time()
+    for _tb in ("rollup", "chunks"):
+        run_flatten_pass(spark, work_dir, "1m", table=_tb, n_waves=1)
+    out["flatten_1m_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    vm = run_vacuum_pass(spark, work_dir, keep_last=1)
+    out["vacuum_sec"] = round(time.time() - t0, 3)
+    out["vacuum_bytes_freed"] = vm["bytes_freed"]
     shutil.rmtree(work_dir, ignore_errors=True)
 
     # ---- oracle-checked operator queries at sf_dir: 3 repeats, report min

@@ -1846,6 +1846,15 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
       raw turns, so the hash breaks if the merge double-counts, the
       latest-wins read serves a stale conv version, or the refresh
       resurrects aged-out points.
+    - leg 'travel' (late r6, the snapshot-time-travel driver-gate row):
+      the refresh store read AS OF the retention commit
+      (generations.current_chunks(as_of=...)) — must reproduce the
+      pre-delta state although two newer generations exist.
+    - leg 'flatten' (late r6, the plans/vacuum.run_flatten_pass
+      driver-gate row): the refresh delta chain folded into one full
+      generation, decoded from the published result; the twin is the
+      refresh twin verbatim, so the hash breaks if the fold loses,
+      duplicates, or reorders any conv version.
     """
     import tempfile
 
@@ -1933,6 +1942,27 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     run_refresh_pass(spark, t_all.where(dpred), base_f, tiers=("1h",),
                      fill_method=None, n_waves=2, run_id="qf2")
     refreshed = decode_tier_chunks(read_tier_chunks(spark, base_f, "1h"))
+    # travel leg: the SAME store read as of the retention commit — the
+    # snapshot log must reproduce the pre-delta state even though newer
+    # generations exist. Twin = old-store rows (affected convs lose their
+    # post-midpoint buckets) under the chunk-window retention rule.
+    from spinterps_spark.plans.generations import current_chunks
+    from spinterps_spark.plans.vacuum import run_flatten_pass
+
+    qf1_commit = next(
+        s["commit_id"]
+        for s in tier_tables(spark, f"{base_f}/chunks").snapshots()
+        if s.get("run_id") == "qf1"
+    )
+    travel = decode_tier_chunks(
+        current_chunks(spark, base_f, "1h", as_of=qf1_commit))
+    # flatten leg: fold the refresh delta into one full generation
+    # (plans/vacuum.run_flatten_pass) and decode the published result —
+    # content preservation locked into the row hash (twin = the refresh
+    # twin verbatim), not just pytest
+    run_flatten_pass(spark, base_f, "1h", table="chunks", run_id="qf3",
+                     n_waves=2)
+    flattened = decode_tier_chunks(read_tier_chunks(spark, base_f, "1h"))
     return full.select(
         F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
     ).unionAll(pruned.select(
@@ -1946,6 +1976,10 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
         "conv_id", "bucket_ts", "value",
     )).unionAll(refreshed.select(
         F.lit("refresh").alias("leg"), "conv_id", "bucket_ts", "value"
+    )).unionAll(travel.select(
+        F.lit("travel").alias("leg"), "conv_id", "bucket_ts", "value"
+    )).unionAll(flattened.select(
+        F.lit("flatten").alias("leg"), "conv_id", "bucket_ts", "value"
     ))
 
 
@@ -2007,6 +2041,29 @@ WHERE substring(md5(conv_id), 1, 1) < 'c'
       > mn + (mx - mn) // 2
 UNION ALL
 SELECT 'refresh' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE substring(md5(conv_id), 1, 1) >= 'c'
+  AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
+UNION ALL
+-- time travel to the retention commit: the pre-delta store — affected
+-- convs have only their pre-midpoint buckets (the delta was held out),
+-- everyone obeys the chunk-window retention rule at the midpoint
+SELECT 'travel' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE (substring(md5(conv_id), 1, 1) < 'c'
+       OR CAST(epoch(bucket_ts) AS BIGINT) < mn + (mx - mn) // 2)
+  AND (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
+      > mn + (mx - mn) // 2
+UNION ALL
+-- flatten is a content-preserving fold of the refresh delta chain:
+-- expected rows = the refresh leg verbatim
+SELECT 'flatten' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE substring(md5(conv_id), 1, 1) < 'c'
+  AND (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
+      > mn + (mx - mn) // 2
+UNION ALL
+SELECT 'flatten' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
 WHERE substring(md5(conv_id), 1, 1) >= 'c'
   AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2

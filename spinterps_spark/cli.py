@@ -372,6 +372,19 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """DESCRIBE HISTORY over the store's snapshot logs (plans/describe.py):
+    one JSON line per commit with resolved liveness (live / superseded /
+    expired / applied), retention horizons and vacuum accounting."""
+    from spinterps_spark.plans.describe import history
+
+    spark = _spark("spinterps_spark.history")
+    df = history(spark, args.out, with_sizes=args.sizes)
+    for row in df.toLocalIterator():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Routed time-range read: serve [--from, --to] at the finest stored
     resolution, falling through to coarser tiers past each retention
@@ -582,6 +595,16 @@ def main(argv=None) -> int:
                     help="full generations of time-travel history to keep")
     vc.add_argument("--resume", default=None, help="run_id to resume")
     vc.set_defaults(fn=cmd_vacuum)
+
+    hi = sub.add_parser(
+        "history",
+        help="DESCRIBE HISTORY: every snapshot commit with resolved "
+             "liveness, horizons and vacuum accounting")
+    hi.add_argument("--out", required=True,
+                    help="pipeline out_dir holding rollup/ + chunks/")
+    hi.add_argument("--sizes", action="store_true",
+                    help="add on-disk bytes per surviving generation")
+    hi.set_defaults(fn=cmd_history)
 
     q = sub.add_parser(
         "query",

@@ -241,3 +241,46 @@ def test_vacuum_refuses_locations_outside_the_store(spark, store, tmp_path):
     with pytest.raises(RuntimeError, match="outside the store"):
         run_vacuum_pass(spark, d, keep_last=1, run_id="vac4")
     assert os.path.isdir(evil)  # nothing was deleted
+
+
+def test_history_reports_liveness_horizons_and_vacuum(spark, tmp_path):
+    """plans/describe.history: one row per snapshot commit, liveness
+    resolved the same way reads resolve generations — live base + live
+    deltas, superseded pre-flatten rows, expired post-vacuum rows, vacuum
+    rows as 'applied' carrying the expiry accounting."""
+    from spinterps_spark.plans.describe import history
+
+    t = datagen.transcripts_spark(spark, seed=11, n_turns_target=1500)
+    bounds = t.agg(F.min(F.unix_timestamp("ts")).alias("mn")).first()
+    pred = F.substring(F.md5("conv_id"), 1, 1) >= "c"
+    d = str(tmp_path / "s")
+    run_retention_pipeline(spark, t.where(~pred), d, tiers=(TIER,),
+                           n_waves=2, gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="p0")
+    run_refresh_pass(spark, t.where(pred), d, tiers=(TIER,), n_waves=2,
+                     run_id="r1")
+    run_retention_pass(spark, d, TIER, horizon_ts=int(bounds.mn) - 1,
+                       run_id="ret", n_waves=2)
+
+    h = {(r["table"], r["run_id"], r["stage"]): r
+         for r in history(spark, d, with_sizes=True).collect()}
+    # chunks: r1 delta folded by the retention full gen -> superseded;
+    # the retention generation is live and carries its horizon
+    assert h[("chunks", "r1", f"refresh:{TIER}")]["status"] == "superseded"
+    ret = h[("chunks", "ret", f"retention:{TIER}")]
+    assert ret["status"] == "live" and ret["kind"] == "full"
+    assert ret["horizon_ts"] == int(bounds.mn) - 1
+    assert ret["bytes"] > 0
+    # rollup: no full rewrite yet -> the pipeline row and the delta are
+    # both live (the delta still merges into every read)
+    assert h[("rollup", "p0", f"rollup:{TIER}")]["status"] == "live"
+    assert h[("rollup", "r1", f"refresh:{TIER}")]["status"] == "live"
+
+    run_vacuum_pass(spark, d, keep_last=1, run_id="vx")
+    h2 = {(r["table"], r["run_id"], r["stage"]): r
+          for r in history(spark, d).collect()}
+    assert h2[("chunks", "r1", f"refresh:{TIER}")]["status"] == "expired"
+    vac = h2[("chunks", "vx", f"vacuum:{TIER}")]
+    assert vac["status"] == "applied" and vac["n_expired"] == 1
+    assert vac["bytes_freed"] > 0
+    assert h2[("chunks", "ret", f"retention:{TIER}")]["status"] == "live"

@@ -66,9 +66,10 @@ def generation_plan(fmt, tier: str, default_base: str, as_of: str | None = None)
             continue
         stage = str(s.get("stage", ""))
         if stage.startswith("vacuum:"):
-            # metadata-only expiry marker: neither base nor delta
-            continue
-        if stage.startswith("refresh:"):
+            # metadata-only expiry marker: neither base nor delta — but a
+            # valid as_of anchor (state == the preceding data commit)
+            pass
+        elif stage.startswith("refresh:"):
             deltas.append(s)
         else:
             # a full rewrite was computed FROM the merged view, so it
@@ -87,8 +88,10 @@ def generation_plan(fmt, tier: str, default_base: str, as_of: str | None = None)
 
 def _raise_if_expired(fmt, tier: str, as_of: str, missing: str):
     """A time-travel read hit a missing generation dir: name the vacuum
-    commit that expired it (always present — vacuum commits before anyone
-    can observe the deletion as final)."""
+    commit that expired it. Vacuum deletes idempotently FIRST and commits
+    last (so its own crash recovery converges), which leaves a window
+    where a crashed vacuum removed the dir but no row records it yet —
+    the FileNotFoundError branch names that case and its remedy."""
     import json as _json
 
     for s in fmt.snapshots():
@@ -105,7 +108,10 @@ def _raise_if_expired(fmt, tier: str, as_of: str, missing: str):
             )
     raise FileNotFoundError(
         f"snapshot {as_of!r} of tier={tier}: generation data missing at "
-        f"{missing} (deleted outside the vacuum pass?)"
+        f"{missing} with no vacuum row recording it — either it was "
+        "deleted outside the engine, or a vacuum pass crashed between its "
+        "deletes and its commit; re-run that vacuum (same run_id) to "
+        "converge and record the expiry."
     )
 
 

@@ -28,9 +28,12 @@ Crash safety mirrors the other passes, inverted: deletes are idempotent
 (missing dirs skip), the commit row is appended LAST. A crash mid-delete
 re-runs cleanly with the same run_id (the already-gone dirs are recomputed
 as expirable and skipped); a crash after the commit makes the re-run a
-no-op via the committed(run_id, stage) guard. Readers are never exposed to
-a partial state: vacuum only ever touches directories the CURRENT
-generation plan does not reference.
+no-op via the committed(run_id, stage) guard. CURRENT-view readers are
+never exposed to a partial state (vacuum only touches directories the
+current generation plan does not reference); a TIME-TRAVEL read that
+lands in the crash window — dirs deleted, commit row not yet appended —
+gets generations._raise_if_expired's FileNotFoundError branch, which
+names the re-run-the-vacuum remedy.
 
 Safety rails: only directories under `out_dir` whose path contains a
 ``gen=`` segment (the managed generation layout) are ever deleted — the
@@ -56,14 +59,10 @@ import shutil
 import time
 
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
-from spinterps_spark.plans.generations import read_current
+from spinterps_spark.plans.generations import _strip_scheme, read_current
 from spinterps_spark.sources.tableformat import tier_tables
 
 TABLE_ROOTS = ("rollup", "chunks")
-
-
-def _strip_scheme(loc: str) -> str:
-    return loc[7:] if loc.startswith("file://") else loc
 
 
 def _default_base(out_dir: str, table: str, tier: str) -> str:
@@ -107,6 +106,28 @@ def run_flatten_pass(
     src = read_current(spark, fmt, tier, _default_base(out_dir, table, tier))
     ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
     gen_loc = os.path.join(out_dir, f"{table}_flat/tier={tier}/gen={run_id}")
+    # pin the delta set this run folds: a --resume after a crash reuses
+    # done waves, which captured the state at the ORIGINAL start — if a
+    # refresh delta committed in between, publishing would supersede (and
+    # silently drop) rows those waves never saw. Abort loudly instead; a
+    # fresh run_id folds everything.
+    folded_ids = [s.get("commit_id") for s in deltas]
+    manifest = os.path.join(gen_loc, "_folded.json")
+    os.makedirs(gen_loc, exist_ok=True)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            recorded = json.load(f)
+        if recorded != folded_ids:
+            raise RuntimeError(
+                f"flatten resume {run_id!r}: the tier={tier} delta chain "
+                f"changed since this run started (recorded {recorded}, "
+                f"now {folded_ids}) — its partial waves would publish a "
+                "full generation missing the newer delta. Re-run with a "
+                "fresh run_id to fold the current chain."
+            )
+    else:
+        with open(manifest, "w") as f:
+            json.dump(folded_ids, f)
     flat = run_waved_pass(
         spark, src, lambda sub: sub, gen_loc,
         ckpt, run_id, f"flatten_{table}:{tier}",
@@ -202,25 +223,34 @@ def run_vacuum_pass(
                 f"vacuum: refusing to delete {loc!r} — outside the store "
                 f"{out_dir}"
             )
-        is_gen = "gen=" in p
-        is_convs = p.startswith(os.path.join(out_real, "refresh", "run="))
+        # classify on the path RELATIVE to the store, so an out_dir that
+        # itself contains 'gen=' can never make the layout dirs deletable
+        rel = os.path.relpath(p, out_real)
+        is_gen = "gen=" in rel
+        is_convs = rel.startswith(os.path.join("refresh", "run="))
         return p if (is_gen or is_convs) else None
 
     fmts = {tb: tier_tables(spark, os.path.join(out_dir, tb))
             for tb in TABLE_ROOTS}
     snaps = {tb: fmts[tb].snapshots() for tb in TABLE_ROOTS}
+    all_tiers = sorted({
+        s["tier"] for tb in TABLE_ROOTS for s in snaps[tb]
+        if s.get("tier")
+        and not str(s.get("stage", "")).startswith("vacuum:")
+    })
     if tiers is None:
-        tiers = sorted({
-            s["tier"] for tb in TABLE_ROOTS for s in snaps[tb]
-            if s.get("tier")
-            and not str(s.get("stage", "")).startswith("vacuum:")
-        })
+        tiers = all_tiers
 
+    # expiry is planned only for the REQUESTED tiers, but the plan must
+    # see every tier: a convs sidecar is shared per refresh run across
+    # tiers and tables, so liveness counts kept deltas everywhere — an
+    # unrequested tier keeps all of its rows by definition
     plan: dict[tuple[str, str], tuple[list[dict], list[dict]]] = {}
     for tb in TABLE_ROOTS:
-        for tier in tiers:
-            plan[(tb, tier)] = _expirable(
-                _tier_history(snaps[tb], tier), keep_last
+        for tier in all_tiers:
+            hist = _tier_history(snaps[tb], tier)
+            plan[(tb, tier)] = (
+                _expirable(hist, keep_last) if tier in tiers else ([], hist)
             )
 
     # convs sidecars: refresh deltas in BOTH logs share one dir per run —

@@ -284,3 +284,104 @@ def test_history_reports_liveness_horizons_and_vacuum(spark, tmp_path):
     assert vac["status"] == "applied" and vac["n_expired"] == 1
     assert vac["bytes_freed"] > 0
     assert h2[("chunks", "ret", f"retention:{TIER}")]["status"] == "live"
+
+
+def test_vacuum_tier_subset_keeps_shared_convs_sidecar(spark, tmp_path):
+    """A refresh run publishes deltas for every tier sharing ONE convs
+    sidecar. Vacuuming only a subset of tiers must not delete the sidecar
+    while another tier's live delta still resolves through it."""
+    t = datagen.transcripts_spark(spark, seed=13, n_turns_target=1500)
+    pred = F.substring(F.md5("conv_id"), 1, 1) >= "c"
+    d = str(tmp_path / "s")
+    run_retention_pipeline(spark, t.where(~pred), d, tiers=("1m", "1h"),
+                           n_waves=2, gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="p0")
+    run_refresh_pass(spark, t.where(pred), d, tiers=("1m", "1h"),
+                     n_waves=2, run_id="r1")
+    run_flatten_pass(spark, d, "1m", table="chunks", run_id="f1", n_waves=2)
+    run_flatten_pass(spark, d, "1m", table="rollup", run_id="f2", n_waves=2)
+    before_1h = _chunk_points_tier(spark, d, "1h")
+    m = run_vacuum_pass(spark, d, tiers=["1m"], keep_last=1, run_id="vx")
+    assert m["tables"]["chunks"]["1m"]["commit"] == "published"
+    # the r1 sidecar is still referenced by the live 1h deltas
+    assert os.path.isdir(f"{d}/refresh/run=r1/convs")
+    pd.testing.assert_frame_equal(
+        _chunk_points_tier(spark, d, "1h"), before_1h, check_exact=True)
+
+
+def _chunk_points_tier(spark, out_dir, tier):
+    return (
+        decode_tier_chunks(current_chunks(spark, out_dir, tier))
+        .select("conv_id", "bucket_ts", "value")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+
+def test_flatten_resume_aborts_when_the_delta_chain_moved(spark, tmp_path):
+    """A crashed flatten's waves captured the delta chain at its start; if
+    a new refresh delta lands before the resume, publishing would drop it.
+    The resume must abort loudly; a fresh run_id folds everything."""
+    t = datagen.transcripts_spark(spark, seed=29, n_turns_target=1500)
+    h = F.substring(F.md5("conv_id"), 1, 1)
+    d = str(tmp_path / "s")
+    run_retention_pipeline(spark, t.where(h < "c"), d, tiers=(TIER,),
+                           n_waves=2, gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="p0")
+    run_refresh_pass(spark, t.where(h.between("c", "e")), d, tiers=(TIER,),
+                     n_waves=2, run_id="r1")
+    # crash simulation: the flatten ran its waves but its commit was lost
+    run_flatten_pass(spark, d, TIER, table="chunks", run_id="fx", n_waves=2)
+    clog = os.path.join(d, "chunks", "_snapshots.jsonl")
+    with open(clog) as f:
+        lines = [ln for ln in f if '"run_id": "fx"' not in ln]
+    with open(clog, "w") as f:
+        f.writelines(lines)
+    # a new delta lands before the operator resumes
+    run_refresh_pass(spark, t.where(h >= "f"), d, tiers=(TIER,),
+                     n_waves=2, run_id="r2")
+    with pytest.raises(RuntimeError, match="delta chain changed"):
+        run_flatten_pass(spark, d, TIER, table="chunks", run_id="fx",
+                         n_waves=2)
+    m = run_flatten_pass(spark, d, TIER, table="chunks", run_id="fy",
+                         n_waves=2)
+    assert m["n_deltas_folded"] == 2
+    full = str(tmp_path / "full")
+    run_retention_pipeline(spark, t, full, tiers=(TIER,), n_waves=2,
+                           gorilla=True, fuse_fill_and_chunks=True,
+                           run_id="gt")
+    pd.testing.assert_frame_equal(
+        _chunk_points_tier(spark, d, TIER),
+        _chunk_points_tier(spark, full, TIER), check_exact=True)
+
+
+def test_vacuum_store_path_containing_gen_keeps_layout(spark, tmp_path):
+    """The managed() classification must use the path RELATIVE to the
+    store: an out_dir that itself contains 'gen=' must not make the
+    pipeline layout dirs deletable."""
+    t = datagen.transcripts_spark(spark, seed=31, n_turns_target=800)
+    pred = F.substring(F.md5("conv_id"), 1, 1) >= "c"
+    d = str(tmp_path / "gen=2026" / "store")
+    run_retention_pipeline(spark, t.where(~pred), d, tiers=(TIER,),
+                           n_waves=2, gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="p0")
+    run_refresh_pass(spark, t.where(pred), d, tiers=(TIER,), n_waves=2,
+                     run_id="r1")
+    run_flatten_pass(spark, d, TIER, table="rollup", run_id="f1", n_waves=2)
+    before = _rollup_rows(spark, d)
+    run_vacuum_pass(spark, d, keep_last=1, run_id="vx")
+    assert os.path.isdir(f"{d}/rollup/tier={TIER}")  # layout survives
+    assert not os.path.isdir(f"{d}/rollup_refresh/tier={TIER}/gen=r1")
+    pd.testing.assert_frame_equal(_rollup_rows(spark, d), before,
+                                  check_exact=True)
+    # ...and as_of anchored on the vacuum's own commit_id resolves to the
+    # current state (metadata-only commits are valid anchors)
+    fmt = tier_tables(spark, os.path.join(d, "rollup"))
+    vac_commit = next(s["commit_id"] for s in fmt.snapshots()
+                      if str(s.get("stage", "")).startswith("vacuum:"))
+    got = (current_rollup(spark, d, TIER, as_of=vac_commit)
+           .select("conv_id", "bucket_ts", "turn_cnt", "tok_len_sum")
+           .toPandas().sort_values(["conv_id", "bucket_ts"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, before, check_exact=True)

@@ -122,34 +122,23 @@ def main():
         out["gorilla_decode_sec"] = round(dec_best, 3)
         out["gorilla_decode_pts_per_sec"] = round(gstats["pts"] / dec_best, 1)
 
-    # ---- incremental refresh leg (r6): merge a ~1% turn-delta into the
+    # ---- incremental refresh legs (r6): merge ~1% turn-deltas into the
     # store the headline pass just wrote (plans/refresh.py) — the
     # continuous-aggregate maintenance cost must scale with the DELTA, not
-    # the history. The delta generator reuses low conversation indices, so
-    # it re-touches existing conversations (including the mega-conv):
-    # merge + conv-scoped refill + re-encode + latest-wins delta publish.
+    # the history. The delta generators reuse low conversation indices, so
+    # they re-touch existing conversations: merge + conv-scoped refill +
+    # re-encode + latest-wins delta publish. Seed-777/778 turns are NEW
+    # events for those conversations (never-ingested payloads landing in
+    # existing buckets — the legal continuous-ingest shape; the contract
+    # only forbids redelivering already-merged turns). The TYPICAL leg
+    # runs FIRST, on the pristine store (its p50 claim needs an unmutated
+    # baseline); the worst-case leg then runs with one prior delta in the
+    # chain — one extra broadcast anti join, noise next to the mega-conv
+    # refill it exists to measure, and conservative for a worst case.
     from spinterps_spark.plans.refresh import run_refresh_pass
 
-    ddir = tempfile.mkdtemp(prefix="bench_refresh_delta_")
-    datagen.transcripts_spark(
-        spark, seed=777, n_turns_target=max(n_turns // 100, 1_000)
-    ).write.mode("overwrite").parquet(ddir)
-    delta = spark.read.parquet(ddir)
-    out["refresh_delta_turns"] = delta.count()
-    t0 = time.time()
-    rm = run_refresh_pass(
-        spark, delta, work_dir, tiers=("1m", "1h", "1d"),
-        fill_method="IDW",
-        fill_knobs={"chunk_buckets": 3840, "pad_buckets": 64},
-        n_waves=1,
-    )
-    out["refresh_sec"] = round(time.time() - t0, 3)
-    out["refresh_affected_convs"] = rm["n_affected_convs"]
-    shutil.rmtree(ddir, ignore_errors=True)
-
-    # typical-case twin: same ~1% delta shape WITHOUT the mega-conversation
-    # (refreshing conv 0 re-fills its entire ~5%-of-volume history — the
-    # honest worst case above; this leg is the p50 invalidation cost)
+    # typical case: ~1% delta WITHOUT the mega-conversation (refreshing
+    # conv 0 re-fills its entire ~5%-of-volume history)
     ddir2 = tempfile.mkdtemp(prefix="bench_refresh_delta2_")
     datagen.transcripts_spark(
         spark, seed=778, n_turns_target=max(n_turns // 100, 1_000)
@@ -166,6 +155,24 @@ def main():
     out["refresh_typical_sec"] = round(time.time() - t0, 3)
     out["refresh_typical_affected_convs"] = rm2["n_affected_convs"]
     shutil.rmtree(ddir2, ignore_errors=True)
+
+    # worst case: the delta includes the mega-conv
+    ddir = tempfile.mkdtemp(prefix="bench_refresh_delta_")
+    datagen.transcripts_spark(
+        spark, seed=777, n_turns_target=max(n_turns // 100, 1_000)
+    ).write.mode("overwrite").parquet(ddir)
+    delta = spark.read.parquet(ddir)
+    out["refresh_delta_turns"] = delta.count()
+    t0 = time.time()
+    rm = run_refresh_pass(
+        spark, delta, work_dir, tiers=("1m", "1h", "1d"),
+        fill_method="IDW",
+        fill_knobs={"chunk_buckets": 3840, "pad_buckets": 64},
+        n_waves=1,
+    )
+    out["refresh_sec"] = round(time.time() - t0, 3)
+    out["refresh_affected_convs"] = rm["n_affected_convs"]
+    shutil.rmtree(ddir, ignore_errors=True)
 
     # ---- maintenance legs (late r6): fold the two refresh deltas the
     # legs above published back into one full generation per table

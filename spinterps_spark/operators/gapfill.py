@@ -665,9 +665,19 @@ def gapfill_virtual_chunks(
     gorilla_chunk: int = 120,
     drift: DataFrame | None = None,
     drift_cols: list[str] | None = None,
+    grid_min_ts: int | None = None,
     **knobs,
 ) -> DataFrame:
     """Fused gap-fill + Gorilla encode over a VIRTUAL spine.
+
+    grid_min_ts (epoch seconds): emit no grid point below it, while refs
+    below it STILL anchor the interpolation — the semantics of "fill over
+    full history, then trim at a retention horizon". The refresh pass uses
+    this so re-filling a retained conversation matches a full rebuild
+    filtered at the horizon; trimming the refs instead (the pre-fix
+    behavior) silently dropped filled points whose nearest anchors lay
+    before the horizon. Chunks wholly below grid_min_ts skip their fill
+    entirely, so the cost stays bounded by the surviving span.
 
     The materialized spine inflates a sparse rollup ~30x with NULL gap rows
     (97% of Arrow traffic at the 1m tier) before the kernel re-derives the
@@ -840,6 +850,8 @@ def gapfill_virtual_chunks(
             g1 = (hi // secs) * secs
             if g1 < g0:
                 continue
+            if grid_min_ts is not None and g1 < grid_min_ts:
+                continue  # chunk wholly below the horizon: nothing to emit
             grid = np.arange(g0, g1 + 1, secs, dtype=np.int64)
             # context refs outside the chunk window participate as refs
             inside = (refs_t >= g0) & (refs_t <= g1)
@@ -873,6 +885,8 @@ def gapfill_virtual_chunks(
                 t_ser, v_ser, vg_str=vg, drifts=d_ser,
                 pinv_cache=_vcache, **kw)
             keep = (t_ser >= g0) & (t_ser <= g1)
+            if grid_min_ts is not None:
+                keep &= t_ser >= grid_min_ts
             out_conv.append(np.repeat(conv_all[s], keep.sum()))
             out_t.append(t_ser[keep])
             out_v.append(filled[keep])

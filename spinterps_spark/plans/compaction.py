@@ -67,7 +67,16 @@ def _tier_source(spark, out_dir: str, tier: str):
 
     fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
     df = read_tier_chunks(spark, out_dir, tier)
-    files = [_local_path(f) for f in df.inputFiles()]
+    # inputFiles() lists every FileScan leaf of the merged plan, which
+    # includes each refresh delta's convs-list parquet (the broadcast
+    # anti-join side) — metadata, not chunk bytes. Keep only chunk-table
+    # files. Superseded base rows a delta replaces still count, which
+    # overstates bytes slightly in the SAFE direction (more, smaller
+    # output files than target_file_mb, never fewer larger ones).
+    files = [
+        p for p in (_local_path(f) for f in df.inputFiles())
+        if f"{os.sep}refresh{os.sep}run=" not in p
+    ]
     return fmt, df, files
 
 

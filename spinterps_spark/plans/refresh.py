@@ -42,7 +42,6 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from spinterps_spark import TIER_SECONDS
 from spinterps_spark.compress.gorilla import encode_tier_chunks
 from spinterps_spark.operators.gapfill import gapfill_virtual_chunks
 from spinterps_spark.operators.rollup import (
@@ -120,7 +119,12 @@ def run_refresh_pass(
     # next to the delta under a run-keyed path and is written once.
     convs_loc = os.path.join(out_dir, f"refresh/run={run_id}/convs")
     convs = new_turns.select("conv_id").distinct()
-    if not os.path.isdir(convs_loc):
+    # resume on the COMMIT marker, not directory existence: a crashed
+    # partial write leaves the dir behind, and reusing it would either
+    # fail every retry or (committer v2) serve an incomplete conv list —
+    # which read_current's anti join would turn into duplicate conv
+    # versions. mode('overwrite') replaces any partial remnant.
+    if not os.path.exists(os.path.join(convs_loc, "_SUCCESS")):
         convs.write.mode("overwrite").parquet(convs_loc)
     convs = spark.read.parquet(convs_loc)
     n_convs = convs.count()
@@ -191,22 +195,30 @@ def run_refresh_pass(
                 (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
             )
             hz = horizons.get(tier)
-            if hz is not None:
-                # never resurrect aged-out points into the serving layer
-                ser = ser.where(F.unix_timestamp("bucket_ts") >= F.lit(int(hz)))
-
             if fill_method is None:
+                # no-fill store: refs ARE the content — exact trim at the
+                # horizon (never resurrect aged-out points)
+                if hz is not None:
+                    ser = ser.where(
+                        F.unix_timestamp("bucket_ts") >= F.lit(int(hz)))
+
                 def chunk(sub, _tier=tier):
                     return encode_tier_chunks(
                         sub.withColumnRenamed(fill_metric, "value_filled"),
                         _tier,
                     )
             else:
-                def chunk(sub, _tier=tier):
+                # filled store: trim AFTER the fill, inside the kernel
+                # (grid_min_ts) — pre-horizon refs must keep anchoring the
+                # interpolation or filled points just after the horizon
+                # vanish vs a full rebuild (code-review r6 finding #1);
+                # aged-out grid points are still never emitted
+                def chunk(sub, _tier=tier, _hz=hz):
                     return gapfill_virtual_chunks(
                         sub, fill_metric, method=fill_method, tier=_tier,
                         coords=coords, vg_dim=vg_dim,
                         drift=drift, drift_cols=drift_cols,
+                        grid_min_ts=None if _hz is None else int(_hz),
                         chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
                         **{k: v for k, v in fill_knobs.items()
                            if k not in ("chunk_buckets", "pad_buckets")},

@@ -46,17 +46,18 @@ from spinterps_spark.sources.tableformat import tier_tables
 
 
 def _window_end(tier: str):
-    """Exclusive end of a chunk's time window, from row columns alone.
-
-    floor() (not the encoder's toward-zero cast) so the bound is correct
-    for negative epochs too: floor(first_ts/span) <= first_ts/span always,
-    making window_end an upper bound for every point in the chunk. For
-    toward-zero-keyed chunks left of epoch 0 the true window may start one
-    span earlier; the end computed here is still >= the chunk's last point,
-    which is the only direction retention's `window_end <= horizon` proof
-    needs."""
+    """Exclusive-ish upper bound of a chunk's time window, from row columns
+    alone, using the SAME toward-zero division the encoder keys chunks
+    with (encode_tier_chunks: (epoch/span).cast('long')). That keying
+    makes the k=0 chunk span (-span, span) — mixed-sign — so a floor-based
+    bound is NOT safe there (floor(first_ts/span) = -1 for a negative
+    first_ts gives end 0, below the chunk's possible positive points);
+    trunc gives end = span, a true upper bound. For wholly-negative chunks
+    trunc is loose by at most one span — the safe direction, since
+    retention's `window_end <= horizon` proof only needs an upper bound
+    for every point in the chunk."""
     span = F.col("chunk_size").cast("long") * F.lit(TIER_SECONDS[tier])
-    return (F.floor(F.col("first_ts") / span) + 1) * span
+    return ((F.col("first_ts") / span).cast("long") + 1) * span
 
 
 def run_retention_pass(

@@ -1859,8 +1859,7 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     import tempfile
 
     from spinterps_spark.compress.gorilla import (
-        DEFAULT_CHUNK, decode_tier_chunks, encode_tier_chunks,
-        read_chunks_pruned)
+        decode_tier_chunks, encode_tier_chunks, read_chunks_pruned)
     from spinterps_spark.plans.compaction import run_compaction_pass
     from spinterps_spark.plans.retention import (
         read_tier_chunks, run_retention_pass)
@@ -1993,6 +1992,15 @@ b AS (
   SELECT min(CAST(epoch(bucket_ts) AS BIGINT)) AS mn,
          max(CAST(epoch(bucket_ts) AS BIGINT)) AS mx
   FROM fulls
+),
+-- the refresh delta's conv set: md5[0] >= 'c' AND actually has a bucket
+-- at/after the midpoint. A 'c'+ conv whose conversation ended before the
+-- midpoint contributes nothing to the delta, so the engine leaves it on
+-- the base path (chunk-window retention rule) — the twin must too.
+affected AS (
+  SELECT DISTINCT conv_id FROM fulls, b
+  WHERE substring(md5(conv_id), 1, 1) >= 'c'
+    AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
 )
 SELECT 'full' AS leg, conv_id, bucket_ts, value FROM fulls
 UNION ALL
@@ -2031,18 +2039,18 @@ FROM fulls, b
 WHERE CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
   AND CAST(epoch(bucket_ts) AS BIGINT) < mn + (mx - mn) * 3 // 4
 UNION ALL
--- refresh leg: unaffected convs (md5[0] < 'c') keep the chunk-window
--- retention rule at the midpoint; refreshed convs are re-encoded from the
--- merged rollup (== the full rollup) trimmed exactly at the horizon
+-- refresh leg: convs outside the delta keep the chunk-window retention
+-- rule at the midpoint; refreshed convs are re-encoded from the merged
+-- rollup (== the full rollup) trimmed exactly at the horizon
 SELECT 'refresh' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
-WHERE substring(md5(conv_id), 1, 1) < 'c'
+WHERE conv_id NOT IN (SELECT conv_id FROM affected)
   AND (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
       > mn + (mx - mn) // 2
 UNION ALL
 SELECT 'refresh' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
-WHERE substring(md5(conv_id), 1, 1) >= 'c'
+WHERE conv_id IN (SELECT conv_id FROM affected)
   AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
 UNION ALL
 -- time travel to the retention commit: the pre-delta store — affected
@@ -2059,13 +2067,13 @@ UNION ALL
 -- expected rows = the refresh leg verbatim
 SELECT 'flatten' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
-WHERE substring(md5(conv_id), 1, 1) < 'c'
+WHERE conv_id NOT IN (SELECT conv_id FROM affected)
   AND (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
       > mn + (mx - mn) // 2
 UNION ALL
 SELECT 'flatten' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
-WHERE substring(md5(conv_id), 1, 1) >= 'c'
+WHERE conv_id IN (SELECT conv_id FROM affected)
   AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
 """
 )

@@ -272,3 +272,69 @@ def test_refresh_after_retention_respects_horizon(spark, stores):
         got_1h[keep].reset_index(drop=True),
         want_1h[~want_1h["conv_id"].isin(d3_convs)].reset_index(drop=True),
         check_exact=True)
+
+
+def test_refresh_after_retention_keeps_fill_anchored_by_prehorizon_refs(
+    spark, tmp_path
+):
+    """Code-review r6 finding #1 (confirmed data loss): a conversation
+    with a silence hole straddling the retention horizon. Pre-horizon
+    valid buckets are the nearest left anchors for the hole's filled
+    points at/after the horizon; trimming the refs BEFORE the refill
+    (pre-fix behavior) silently dropped those filled points from the
+    refreshed conversation's chunks. Post-fix: the refill anchors on full
+    history and trims only the EMITTED grid at the horizon, matching a
+    full rebuild filtered to >= horizon bit-for-bit."""
+    import datetime as _dt
+
+    t0 = 1_700_000_400  # NOT hour-aligned: datagen-realistic turn times
+    rows = []
+    for conv, hours in (
+        ("convA", list(range(0, 10)) + list(range(20, 30))),
+        ("convB", list(range(0, 30))),
+    ):
+        for i, hh in enumerate(hours):
+            rows.append((conv, i, "user", "hello world " * (1 + hh % 3),
+                         None, _dt.datetime.fromtimestamp(
+                             t0 + hh * 3600, tz=_dt.timezone.utc)))
+    import pyspark.sql.functions as _F
+
+    from spinterps_spark.datagen import TRANSCRIPT_SCHEMA
+
+    old = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    delta_rows = [("convA", 100 + i, "assistant", "late arrival", None,
+                   _dt.datetime.fromtimestamp(t0 + hh * 3600,
+                                              tz=_dt.timezone.utc))
+                  for i, hh in enumerate((30, 31))]
+    delta = spark.createDataFrame(delta_rows, TRANSCRIPT_SCHEMA)
+    hz = ((t0 // 3600) + 15) * 3600  # hour-aligned, inside convA's hole
+
+    da, db = str(tmp_path / "incr"), str(tmp_path / "full")
+    run_retention_pipeline(spark, old, da, tiers=("1h",), n_waves=2,
+                           fill_method="IDW", gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="gt")
+    run_retention_pass(spark, da, "1h", hz, run_id="ret", n_waves=2)
+    run_refresh_pass(spark, delta, da, tiers=("1h",), n_waves=2,
+                     fill_method="IDW", run_id="rf")
+    run_retention_pipeline(spark, old.unionByName(delta), db, tiers=("1h",),
+                           n_waves=2, fill_method="IDW", gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="gt2")
+
+    got = (
+        decode_tier_chunks(read_tier_chunks(spark, da, "1h"))
+        .where("conv_id = 'convA'")
+        .select("conv_id", "bucket_ts", "value").toPandas()
+        .sort_values("bucket_ts").reset_index(drop=True)
+    )
+    want = (
+        decode_tier_chunks(read_tier_chunks(spark, db, "1h"))
+        .where(_F.col("conv_id") == "convA")
+        .where(_F.unix_timestamp("bucket_ts") >= hz)
+        .select("conv_id", "bucket_ts", "value").toPandas()
+        .sort_values("bucket_ts").reset_index(drop=True)
+    )
+    # the hole's post-horizon band (buckets 15..19) must be present AND
+    # equal the full rebuild's anchored fill
+    assert (pd.to_datetime(want["bucket_ts"]).astype("int64") // 10**9
+            < t0 + 20 * 3600).any(), "fixture lost its straddling band"
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

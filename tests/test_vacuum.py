@@ -385,3 +385,41 @@ def test_vacuum_store_path_containing_gen_keeps_layout(spark, tmp_path):
            .toPandas().sort_values(["conv_id", "bucket_ts"])
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, before, check_exact=True)
+
+
+def test_flatten_midwave_resume_with_unchanged_chain_succeeds(spark, tmp_path):
+    """The _folded.json guard must only abort when the delta chain MOVED;
+    a legitimate crash-mid-write resume (same chain) rebuilds the missing
+    wave and publishes — the standard waved-pass resume contract."""
+    t = datagen.transcripts_spark(spark, seed=47, n_turns_target=1500)
+    pred = F.substring(F.md5("conv_id"), 1, 1) >= "c"
+    d = str(tmp_path / "s")
+    run_retention_pipeline(spark, t.where(~pred), d, tiers=(TIER,),
+                           n_waves=2, gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="p0")
+    run_refresh_pass(spark, t.where(pred), d, tiers=(TIER,), n_waves=2,
+                     run_id="r1")
+    want = _chunk_points(spark, d)
+    run_flatten_pass(spark, d, TIER, table="chunks", run_id="fz", n_waves=2)
+
+    # crash state: one wave dir gone, its lineage rows gone, commit gone —
+    # but the manifest (written before the waves) survives
+    gen = f"{d}/chunks_flat/tier={TIER}/gen=fz"
+    shutil.rmtree(os.path.join(gen, "wave=0"))
+    clog = os.path.join(d, "chunks", "_snapshots.jsonl")
+    with open(clog) as f:
+        lines = [ln for ln in f if '"run_id": "fz"' not in ln]
+    with open(clog, "w") as f:
+        f.writelines(lines)
+    ck = spark.read.parquet(os.path.join(d, "ckpt"))
+    kept = ck.where(f"NOT (run_id = 'fz' AND tier = 'flatten_chunks:{TIER}')")
+    kept.write.mode("overwrite").parquet(os.path.join(d, "ckpt_tmp"))
+    shutil.rmtree(os.path.join(d, "ckpt"))
+    os.rename(os.path.join(d, "ckpt_tmp"), os.path.join(d, "ckpt"))
+    assert os.path.exists(os.path.join(gen, "_folded.json"))
+
+    m = run_flatten_pass(spark, d, TIER, table="chunks", run_id="fz",
+                         n_waves=2)
+    assert m["commit"] not in ("skipped", "noop")
+    pd.testing.assert_frame_equal(_chunk_points(spark, d), want,
+                                  check_exact=True)

@@ -87,3 +87,119 @@ def test_iceberg_commit_roundtrip(spark, tmp_path):
     assert any(s.get("commit_id") == cid for s in snaps)
     assert fmt.committed("r1", "rollup:1h")
     assert fmt.read_tier("1h").count() == 5
+
+
+class _FakeWriter:
+    """Records the DataFrameWriterV2 call chain IcebergTierTables drives."""
+
+    def __init__(self, log, create_raises=None):
+        self.log = log
+        self._create_raises = create_raises
+
+    def option(self, k, v):
+        self.log.setdefault("options", {})[k] = v
+        return self
+
+    def partitionedBy(self, *cols):
+        self.log["partitioned_by"] = [str(c) for c in cols]
+        return self
+
+    def create(self):
+        self.log.setdefault("calls", []).append("create")
+        if self._create_raises is not None:
+            raise self._create_raises
+
+    def append(self):
+        self.log.setdefault("calls", []).append("append")
+
+
+class _FakeDF:
+    def __init__(self, log, create_raises=None):
+        self.log = log
+        self._create_raises = create_raises
+
+    def withColumn(self, name, col):
+        self.log.setdefault("with_columns", []).append(name)
+        return self
+
+    def writeTo(self, table):
+        self.log["write_to"] = table
+        return _FakeWriter(self.log, self._create_raises)
+
+
+class _FakeSparkSQL:
+    """Duck-typed snapshots-query side: .sql(...).collect() -> rows with
+    .summary (dict) and .snapshot_id."""
+
+    def __init__(self, rows):
+        self._rows = rows
+        self.last_sql = None
+
+    def sql(self, q):
+        self.last_sql = q
+        rows = self._rows
+
+        class _R:
+            def collect(self):
+                return rows
+
+        return _R()
+
+
+def test_iceberg_commit_chain_offline(spark):
+    """The jar is absent in this sandbox, but the class's PYTHON-side
+    logic — snapshot-property stamping, create-vs-append transitions, the
+    already-exists fallback vs surfaced create failures, summary parsing —
+    is executable against a duck-typed DataFrameWriterV2 recorder. This
+    turns 'seam never executed' into 'seam logic executed, JVM absent'."""
+    log: dict = {}
+    fmt = TF.IcebergTierTables(spark, "cat.db.tiers")
+    cid = fmt.commit_tier("1h", _FakeDF(log), "ignored",
+                          {"run_id": "r1", "stage": "rollup:1h"})
+    assert log["write_to"] == "cat.db.tiers"
+    # run settings travel as snapshot properties (north-rule requirement)
+    assert log["options"]["snapshot-property.run_id"] == "r1"
+    assert log["options"]["snapshot-property.stage"] == "rollup:1h"
+    assert log["options"]["snapshot-property.commit_id"] == cid
+    assert log["options"]["snapshot-property.tier"] == "1h"
+    assert log["calls"] == ["create"]
+    assert any("days" in c for c in log["partitioned_by"])
+    # second commit on the same instance appends
+    fmt.commit_tier("1h", _FakeDF(log), "ignored",
+                    {"run_id": "r2", "stage": "rollup:1h"})
+    assert log["calls"] == ["create", "append"]
+
+
+def test_iceberg_create_already_exists_falls_to_append(spark):
+    log: dict = {}
+    fmt = TF.IcebergTierTables(spark, "cat.db.tiers")
+    fmt.commit_tier("1h", _FakeDF(log, RuntimeError("Table already exists")),
+                    "ignored", {"run_id": "r1", "stage": "rollup:1h"})
+    assert log["calls"] == ["create", "append"]
+    # any OTHER create failure must surface, never be masked by a retry
+    log2: dict = {}
+    fmt2 = TF.IcebergTierTables(spark, "cat.db.tiers")
+    with pytest.raises(RuntimeError, match="permission denied"):
+        fmt2.commit_tier(
+            "1h", _FakeDF(log2, RuntimeError("permission denied")),
+            "ignored", {"run_id": "r1", "stage": "rollup:1h"})
+    assert log2["calls"] == ["create"]
+
+
+def test_iceberg_snapshots_and_committed_parse_summaries():
+    class _Row:
+        def __init__(self, summary, sid):
+            self.summary = summary
+            self.snapshot_id = sid
+
+    fake = _FakeSparkSQL([
+        _Row({"run_id": "r1", "stage": "rollup:1h", "tier": "1h"}, 11),
+        _Row({"run_id": "r2", "stage": "chunks:1h", "tier": "1h"}, 12),
+    ])
+    fmt = TF.IcebergTierTables(fake, "cat.db.tiers")
+    snaps = fmt.snapshots()
+    assert fake.last_sql == (
+        "SELECT committed_at, snapshot_id, summary FROM cat.db.tiers.snapshots")
+    assert snaps[0]["run_id"] == "r1" and snaps[0]["snapshot_id"] == "11"
+    assert fmt.committed("r2", "chunks:1h")
+    assert not fmt.committed("r2", "rollup:1h")

@@ -666,9 +666,22 @@ def gapfill_virtual_chunks(
     drift: DataFrame | None = None,
     drift_cols: list[str] | None = None,
     grid_min_ts: int | None = None,
+    extra_value_cols: list[str] | None = None,
     **knobs,
 ) -> DataFrame:
     """Fused gap-fill + Gorilla encode over a VIRTUAL spine.
+
+    extra_value_cols: fill k metrics through ONE pass — one shuffle, one
+    grouped kernel, one chunk-table write for all of them, instead of k
+    full passes. The kriging factorization is shared for free: the pinv
+    cache keys on (method, vg_str, relative ref-time geometry), which is
+    identical across metrics of the same conversation, so metrics 2..k
+    reuse metric 1's solve and pay only the weights-times-values product.
+    Output gains a `metric` string column (primary = value_col's name);
+    with no extras the schema and behavior are unchanged. Row inclusion
+    is governed by the PRIMARY metric's validity (all tier-rollup metrics
+    are defined on the same valid rows); an extra metric that is NaN at a
+    ref is treated as a gap for that metric only.
 
     grid_min_ts (epoch seconds): emit no grid point below it, while refs
     below it STILL anchor the interpolation — the semantics of "fill over
@@ -725,10 +738,16 @@ def gapfill_virtual_chunks(
     from spinterps_spark.compress.gorilla import CHUNK_SCHEMA
     from spinterps_spark.operators.grouped import apply_grouped_batches, group_bounds
 
+    xcols = list(extra_value_cols or [])
+    xnames = [f"_x{i}" for i in range(len(xcols))]
     df = rollup_valid.select(
         "conv_id",
         F.unix_timestamp("bucket_ts").alias("_t"),
         _nan_lims_col(F.col(value_col).cast("double"), params).alias("_v"),
+        *[
+            _nan_lims_col(F.col(c).cast("double"), params).alias(x)
+            for c, x in zip(xcols, xnames)
+        ],
     ).where(F.col("_v").isNotNull())
 
     kriging = method in ("OK", "SK", "EDK", "IK")
@@ -763,7 +782,7 @@ def gapfill_virtual_chunks(
         F.coalesce(F.lead("_t", k).over(w), F.max("_t").over(bounds_w)).alias("_tr"),
     )
     df = df.select(
-        "conv_id", "_t", "_v", "vg_str", "_first", "_last",
+        "conv_id", "_t", "_v", *xnames, "vg_str", "_first", "_last",
         F.explode(
             F.sequence(
                 F.floor(F.col("_tl") / span), F.floor(F.col("_tr") / span)
@@ -779,6 +798,7 @@ def gapfill_virtual_chunks(
         drows = dsel.select(
             "conv_id", "_t",
             F.lit(None).cast("double").alias("_v"),
+            *[F.lit(None).cast("double").alias(x) for x in xnames],
             F.lit(None).cast("string").alias("vg_str"),
             F.lit(None).cast("long").alias("_first"),
             F.lit(None).cast("long").alias("_last"),
@@ -808,6 +828,7 @@ def gapfill_virtual_chunks(
         ends = np.append(starts[1:], len(pdf))
         t_all = pdf["_t"].to_numpy(np.int64)
         v_all = pdf["_v"].to_numpy(np.float64)
+        x_alls = [pdf[x].to_numpy(np.float64) for x in xnames]
         ck_all = pdf["_chunk"].to_numpy(np.int64)
         conv_all = pdf["conv_id"].to_numpy()
         vg_all = pdf["vg_str"].to_numpy() if kriging else None
@@ -821,7 +842,8 @@ def gapfill_virtual_chunks(
         else:
             first_all = pdf["_first"].to_numpy(np.int64)
             last_all = pdf["_last"].to_numpy(np.int64)
-        out_conv, out_t, out_v = [], [], []
+        out_conv, out_t = [], []
+        out_v: dict = {m: [] for m in [value_col, *xcols]}
         for s, e in zip(starts, ends):
             c = ck_all[s]
             if dcols:
@@ -833,6 +855,7 @@ def gapfill_virtual_chunks(
                 last = int(last_all[ridx[0]])
                 refs_t = t_all[ridx]
                 refs_v = v_all[ridx]
+                refs_x = [xa[ridx] for xa in x_alls]
                 d_ref = dmat_all[ridx]
                 dt = t_all[didx]
                 dmat = dmat_all[didx]
@@ -842,6 +865,7 @@ def gapfill_virtual_chunks(
                 last = last_all[s]
                 refs_t = t_all[s:e]
                 refs_v = v_all[s:e]
+                refs_x = [xa[s:e] for xa in x_alls]
             lo = max(first, c * span)
             hi = min(last, (c + 1) * span - secs)
             # align the grid to the conversation's own bucket phase
@@ -864,6 +888,11 @@ def gapfill_virtual_chunks(
             v_ser[n_out + pos] = refs_v[inside]
             order = np.argsort(t_ser, kind="stable")
             t_ser, v_ser = t_ser[order], v_ser[order]
+            x_sers = []
+            for xa in refs_x:
+                xs = np.concatenate([xa[~inside], np.full(len(grid), np.nan)])
+                xs[n_out + pos] = xa[inside]
+                x_sers.append(xs[order])
             d_ser = None
             if dcols:
                 # gap-point drift = exact bucket lookup in the drift rows
@@ -889,19 +918,36 @@ def gapfill_virtual_chunks(
                 keep &= t_ser >= grid_min_ts
             out_conv.append(np.repeat(conv_all[s], keep.sum()))
             out_t.append(t_ser[keep])
-            out_v.append(filled[keep])
-        if not out_conv:
-            return _encode_filled(np.array([], dtype=object),
-                                  np.array([], dtype=np.int64),
-                                  np.array([], dtype=np.float64),
-                                  tier, gorilla_chunk * secs, gorilla_chunk)
-        return _encode_filled(
-            np.concatenate(out_conv),
-            np.concatenate(out_t),
-            np.concatenate(out_v),
-            tier,
-            gorilla_chunk * secs,
-            gorilla_chunk,
-        )
+            out_v[value_col].append(filled[keep])
+            # metrics 2..k: same grid, same vg, same drifts — the pinv
+            # cache keys on ref-time geometry, so the kriging solve is
+            # reused and each extra metric pays only weights x values
+            for xname, xs in zip(xcols, x_sers):
+                fx, _xev, _xcd = fill_series(
+                    t_ser, xs, vg_str=vg, drifts=d_ser,
+                    pinv_cache=_vcache, **kw)
+                out_v[xname].append(fx[keep])
+        empty = not out_conv
+        conv_cat = (np.array([], dtype=object) if empty
+                    else np.concatenate(out_conv))
+        t_cat = (np.array([], dtype=np.int64) if empty
+                 else np.concatenate(out_t))
 
-    return apply_grouped_batches(df, ["conv_id", "_chunk"], "_t", fill_batch, CHUNK_SCHEMA)
+        def enc(metric):
+            vals = (np.array([], dtype=np.float64) if empty
+                    else np.concatenate(out_v[metric]))
+            return _encode_filled(conv_cat, t_cat, vals, tier,
+                                  gorilla_chunk * secs, gorilla_chunk)
+
+        if not xcols:
+            return enc(value_col)
+        frames = []
+        for m in [value_col, *xcols]:
+            f = enc(m)
+            f["metric"] = m
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    out_schema = CHUNK_SCHEMA + (", metric string" if xcols else "")
+    return apply_grouped_batches(df, ["conv_id", "_chunk"], "_t", fill_batch,
+                                 out_schema)

@@ -378,7 +378,10 @@ def encode_tier_chunks(filled: DataFrame_or_any, tier: str, value_col: str = "va
 def decode_tier_chunks(chunks):
     """Inverse of encode_tier_chunks via mapInPandas (verification read).
     Decoded arrays are accumulated and emitted as ONE frame per Arrow batch
-    (np.concatenate + np.repeat) instead of a per-chunk DataFrame build."""
+    (np.concatenate + np.repeat) instead of a per-chunk DataFrame build.
+    A multi-metric chunk table (the fused pass's extra_value_cols output)
+    carries a `metric` column; it is repeated per point like conv_id."""
+    has_metric = "metric" in chunks.columns
 
     def expand(batches):
         for pdf in batches:
@@ -398,18 +401,20 @@ def decode_tier_chunks(chunks):
                 )
                 ts_parts.append(ts)
                 val_parts.append(vals)
-            yield pd.DataFrame(
-                {
-                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
-                    "tier": np.repeat(pdf["tier"].to_numpy(), ns),
-                    "bucket_ts": pd.to_datetime(np.concatenate(ts_parts), unit="s"),
-                    "value": np.concatenate(val_parts),
-                }
-            )
+            out = {
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
+                "tier": np.repeat(pdf["tier"].to_numpy(), ns),
+                "bucket_ts": pd.to_datetime(np.concatenate(ts_parts), unit="s"),
+                "value": np.concatenate(val_parts),
+            }
+            if has_metric:
+                out["metric"] = np.repeat(pdf["metric"].to_numpy(), ns)
+            yield pd.DataFrame(out)
 
-    return chunks.mapInPandas(
-        expand, schema="conv_id string, tier string, bucket_ts timestamp, value double"
-    )
+    schema = "conv_id string, tier string, bucket_ts timestamp, value double"
+    if has_metric:
+        schema += ", metric string"
+    return chunks.mapInPandas(expand, schema=schema)
 
 
 # typing alias kept loose to avoid importing pyspark at module import in

@@ -48,8 +48,16 @@ def run_retention_pipeline(
     drift: DataFrame | None = None,
     drift_cols: list[str] | None = None,
     one_pass: bool = True,
+    extra_fill_metrics: dict[str, str] | None = None,
 ) -> dict:
     """Run (or resume) the full tier cascade. Returns a metrics dict.
+
+    extra_fill_metrics: {metric_name: SQL expression over the rollup
+    columns} — fill k metrics through the ONE fused pass (the chunk
+    table gains a `metric` column; primary = fill_metric). Requires the
+    fused+gorilla path; k metrics cost one scan/shuffle/kernel, with the
+    kriging solve shared across them (operators/gapfill.py
+    gapfill_virtual_chunks extra_value_cols).
 
     Layout under out_dir:
         rollup/tier=<t>/wave=<k>/*.parquet   rolled-up buckets
@@ -92,6 +100,11 @@ def run_retention_pipeline(
     min_cnt = min_cnt or {}
     fill_knobs = fill_knobs or {}
     t_start = time.time()
+    if extra_fill_metrics and not (fuse_fill_and_chunks and gorilla):
+        raise ValueError(
+            "extra_fill_metrics requires the fused gorilla path "
+            "(fuse_fill_and_chunks=True, gorilla=True)"
+        )
     metrics = {"run_id": run_id, "tiers": {}}
 
     # avoid a dedicated count scan when the caller already knows the volume
@@ -129,9 +142,11 @@ def run_retention_pipeline(
             # generated inside the kernel from conversation bounds, so the
             # ~30x NULL-row spine inflation never hits the shuffle or the
             # Arrow boundary; output is the Gorilla chunk table directly.
+            extras = dict(extra_fill_metrics or {})
             valid_ser = rolled.where(F.col("valid")).select(
                 "conv_id", "bucket_ts",
                 (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
+                *[F.expr(expr).alias(name) for name, expr in extras.items()],
             )
 
             def fill_chunk(sub, _tier=tier):
@@ -139,6 +154,7 @@ def run_retention_pipeline(
                     sub, fill_metric, method=fill_method, tier=_tier,
                     coords=coords, vg_dim=vg_dim,
                     drift=drift, drift_cols=drift_cols,
+                    extra_value_cols=list(extras) or None,
                     chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
                     **{k: v for k, v in fill_knobs.items() if k not in
                        ("chunk_buckets", "pad_buckets")},

@@ -86,8 +86,15 @@ def run_refresh_pass(
     one_pass: bool = True,
     drift: DataFrame | None = None,
     drift_cols: list[str] | None = None,
+    extra_fill_metrics: dict[str, str] | None = None,
 ) -> dict:
     """Merge `new_turns` into an existing tier store at `out_dir`.
+
+    extra_fill_metrics must MATCH what the pipeline wrote (same
+    {name: rollup-expression} dict): a refresh delta's chunk schema has
+    to union with the base generation's, and the re-encoded conversations
+    replace ALL their metrics at once (latest-wins is per conv_id).
+    Requires a fill_method (the no-fill encode is single-metric).
 
     `tiers` must be the store's cascade order (finest first, as the
     pipeline wrote it). fill_method=None encodes the merged valid series
@@ -190,9 +197,16 @@ def run_refresh_pass(
             })
 
         if not cfmt.committed(run_id, stage):
+            extras = dict(extra_fill_metrics or {})
+            if extras and fill_method is None:
+                raise ValueError(
+                    "extra_fill_metrics requires a fill_method (the "
+                    "no-fill encode path is single-metric)"
+                )
             ser = merged.where(F.col("valid")).select(
                 "conv_id", "bucket_ts",
                 (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
+                *[F.expr(x).alias(n) for n, x in extras.items()],
             )
             hz = horizons.get(tier)
             if fill_method is None:
@@ -219,6 +233,7 @@ def run_refresh_pass(
                         coords=coords, vg_dim=vg_dim,
                         drift=drift, drift_cols=drift_cols,
                         grid_min_ts=None if _hz is None else int(_hz),
+                        extra_value_cols=list(extras) or None,
                         chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
                         **{k: v for k, v in fill_knobs.items()
                            if k not in ("chunk_buckets", "pad_buckets")},

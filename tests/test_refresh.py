@@ -338,3 +338,53 @@ def test_refresh_after_retention_keeps_fill_anchored_by_prehorizon_refs(
     assert (pd.to_datetime(want["bucket_ts"]).astype("int64") // 10**9
             < t0 + 20 * 3600).any(), "fixture lost its straddling band"
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_multi_metric_pipeline_refresh_equals_full_recompute(spark, tmp_path):
+    """extra_fill_metrics through the WHOLE lifecycle: a multi-metric
+    fused pipeline, an incremental refresh carrying the same metric set,
+    and the merged read — all bit-identical per metric to a full
+    multi-metric rebuild, and the primary metric bit-identical to a
+    single-metric store (opt-in changes nothing for existing callers)."""
+    t = datagen.transcripts_spark(spark, seed=53, n_turns_target=2000)
+    bounds = t.agg(F.min(F.unix_timestamp("ts")).alias("mn"),
+                   F.max(F.unix_timestamp("ts")).alias("mx")).first()
+    cut = ((bounds.mn + (bounds.mx - bounds.mn) // 2) // 3600) * 3600
+    pred = (F.substring(F.md5("conv_id"), 1, 1) >= "c") & (
+        F.unix_timestamp("ts") >= cut)
+    extras = {"turn_rate": "CAST(turn_cnt AS DOUBLE)",
+              "user_frac": "role_user_cnt/CAST(turn_cnt AS DOUBLE)"}
+
+    da, db, dc = (str(tmp_path / k) for k in ("incr", "full", "single"))
+    run_retention_pipeline(spark, t.where(~pred), da, tiers=("1m",),
+                           n_waves=2, gorilla=True,
+                           fuse_fill_and_chunks=True, run_id="gt",
+                           extra_fill_metrics=extras)
+    run_refresh_pass(spark, t.where(pred), da, tiers=("1m",), n_waves=2,
+                     run_id="rf", extra_fill_metrics=extras)
+    run_retention_pipeline(spark, t, db, tiers=("1m",), n_waves=2,
+                           gorilla=True, fuse_fill_and_chunks=True,
+                           run_id="gt", extra_fill_metrics=extras)
+    run_retention_pipeline(spark, t, dc, tiers=("1m",), n_waves=2,
+                           gorilla=True, fuse_fill_and_chunks=True,
+                           run_id="gt")
+
+    def pts(d, where=None, drop_metric=False):
+        df = decode_tier_chunks(read_tier_chunks(spark, d, "1m"))
+        if where:
+            df = df.where(where)
+        cols = ["conv_id", "bucket_ts", "value"] + (
+            [] if drop_metric or "metric" not in df.columns else ["metric"])
+        keys = [c for c in ("conv_id", "metric", "bucket_ts") if c in cols]
+        return (df.select(*cols).toPandas()
+                .sort_values(keys).reset_index(drop=True))
+
+    got = pts(da)
+    want = pts(db)
+    assert set(got["metric"].unique()) == {"tok_len_mean", "turn_rate",
+                                           "user_frac"}
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # primary metric == the single-metric store bit-for-bit
+    pd.testing.assert_frame_equal(
+        pts(db, where="metric = 'tok_len_mean'", drop_metric=True),
+        pts(dc), check_exact=True)

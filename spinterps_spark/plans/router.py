@@ -77,11 +77,13 @@ def query_range(
         lo = max(lo_req, horizons.get(tier, 0))
         if lo > hi:
             continue  # tier's whole holding is newer than the remaining range
-        legs.append(
-            read_chunks_pruned(
-                spark, rows, tier, conv_ids=conv_ids, t_min=lo, t_max=hi
-            ).select("conv_id", "tier", "bucket_ts", "value")
+        leg = read_chunks_pruned(
+            spark, rows, tier, conv_ids=conv_ids, t_min=lo, t_max=hi
         )
+        # multi-metric stores carry a metric column through the decode
+        cols = ["conv_id", "tier", "bucket_ts", "value"] + (
+            ["metric"] if "metric" in leg.columns else [])
+        legs.append(leg.select(*cols))
         hi = lo - 1  # older range falls through to the next coarser tier
     if not legs:
         return spark.createDataFrame(

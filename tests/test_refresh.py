@@ -388,3 +388,12 @@ def test_multi_metric_pipeline_refresh_equals_full_recompute(spark, tmp_path):
     pd.testing.assert_frame_equal(
         pts(db, where="metric = 'tok_len_mean'", drop_metric=True),
         pts(dc), check_exact=True)
+    # the routed read serves all metrics of a multi-metric store
+    from spinterps_spark.plans.router import query_range
+
+    routed = query_range(spark, da, int(bounds.mn), int(bounds.mx),
+                         resolution="1m")
+    per_metric = {r["metric"]: r["count"] for r in
+                  routed.groupBy("metric").count().collect()}
+    assert set(per_metric) == {"tok_len_mean", "turn_rate", "user_frac"}
+    assert len(set(per_metric.values())) == 1  # same grid per metric

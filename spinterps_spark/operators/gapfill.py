@@ -739,6 +739,11 @@ def gapfill_virtual_chunks(
     from spinterps_spark.operators.grouped import apply_grouped_batches, group_bounds
 
     xcols = list(extra_value_cols or [])
+    if len({value_col, *xcols}) != 1 + len(xcols):
+        raise ValueError(
+            f"extra_value_cols must be distinct from each other and from "
+            f"value_col; got value_col={value_col!r}, extras={xcols}"
+        )
     xnames = [f"_x{i}" for i in range(len(xcols))]
     df = rollup_valid.select(
         "conv_id",

@@ -73,9 +73,12 @@ def _tier_source(spark, out_dir: str, tier: str):
     # files. Superseded base rows a delta replaces still count, which
     # overstates bytes slightly in the SAFE direction (more, smaller
     # output files than target_file_mb, never fewer larger ones).
+    sidecar_root = os.path.join(
+        os.path.realpath(out_dir), "refresh", "run="
+    )
     files = [
         p for p in (_local_path(f) for f in df.inputFiles())
-        if f"{os.sep}refresh{os.sep}run=" not in p
+        if not os.path.realpath(p).startswith(sidecar_root)
     ]
     return fmt, df, files
 

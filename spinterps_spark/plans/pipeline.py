@@ -12,6 +12,7 @@ netCDF writes become per-wave parquet (Iceberg in production) commits.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -24,6 +25,41 @@ from spinterps_spark.operators.rollup import base_rollup, rollup_tier
 from spinterps_spark.operators.spine import with_spine
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
 from spinterps_spark.sources.tableformat import tier_tables
+
+
+def fused_fill_builder(fill_metric, fill_method, coords, vg_dim, drift,
+                       drift_cols, fill_knobs, extras):
+    """The valid-series projection and the fused fill+encode closure,
+    shared VERBATIM by run_retention_pipeline and run_refresh_pass — the
+    refresh == full-rebuild bit-equality contract depends on the two
+    sites never drifting (a knob added to one and not the other breaks it
+    silently). Returns (project, chunker): project maps valid rollup rows
+    to the fill series; chunker(tier, grid_min_ts) builds the per-wave
+    transform (grid_min_ts is the refresh pass's post-fill horizon trim,
+    None for the pipeline)."""
+
+    def project(rolled_valid: DataFrame) -> DataFrame:
+        return rolled_valid.select(
+            "conv_id", "bucket_ts",
+            (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
+            *[F.expr(x).alias(n) for n, x in extras.items()],
+        )
+
+    def chunker(tier: str, grid_min_ts: int | None = None):
+        def chunk(sub):
+            return gapfill_virtual_chunks(
+                sub, fill_metric, method=fill_method, tier=tier,
+                coords=coords, vg_dim=vg_dim,
+                drift=drift, drift_cols=drift_cols,
+                grid_min_ts=grid_min_ts,
+                extra_value_cols=list(extras) or None,
+                chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
+                **{k: v for k, v in fill_knobs.items()
+                   if k not in ("chunk_buckets", "pad_buckets")},
+            )
+        return chunk
+
+    return project, chunker
 
 
 def run_retention_pipeline(
@@ -96,6 +132,13 @@ def run_retention_pipeline(
         run_id=run_id, n_waves=n_waves, n_salt=n_salt,
         fill_method=fill_method, fill_metric=fill_metric,
         tiers=",".join(tiers), fused=fuse_fill_and_chunks,
+        # the store's metric set travels with the data (settings-as-
+        # attributes rule): refresh validates its own metric set against
+        # this, because latest-wins replaces ALL of a refreshed conv's
+        # metrics at once — a mismatched refresh would silently thin
+        # per-conv metric coverage
+        fill_metrics=json.dumps(
+            [fill_metric, *sorted(extra_fill_metrics or {})]),
     )
     min_cnt = min_cnt or {}
     fill_knobs = fill_knobs or {}
@@ -142,23 +185,12 @@ def run_retention_pipeline(
             # generated inside the kernel from conversation bounds, so the
             # ~30x NULL-row spine inflation never hits the shuffle or the
             # Arrow boundary; output is the Gorilla chunk table directly.
-            extras = dict(extra_fill_metrics or {})
-            valid_ser = rolled.where(F.col("valid")).select(
-                "conv_id", "bucket_ts",
-                (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
-                *[F.expr(expr).alias(name) for name, expr in extras.items()],
+            project, chunker = fused_fill_builder(
+                fill_metric, fill_method, coords, vg_dim, drift,
+                drift_cols, fill_knobs, dict(extra_fill_metrics or {}),
             )
-
-            def fill_chunk(sub, _tier=tier):
-                return gapfill_virtual_chunks(
-                    sub, fill_metric, method=fill_method, tier=_tier,
-                    coords=coords, vg_dim=vg_dim,
-                    drift=drift, drift_cols=drift_cols,
-                    extra_value_cols=list(extras) or None,
-                    chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
-                    **{k: v for k, v in fill_knobs.items() if k not in
-                       ("chunk_buckets", "pad_buckets")},
-                )
+            valid_ser = project(rolled.where(F.col("valid")))
+            fill_chunk = chunker(tier)
 
             run_waved_pass(
                 spark, valid_ser, fill_chunk,

@@ -37,13 +37,13 @@ affected-conv count. A day's late data against a year's history touches
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
 from pyspark.sql import DataFrame, functions as F
 
 from spinterps_spark.compress.gorilla import encode_tier_chunks
-from spinterps_spark.operators.gapfill import gapfill_virtual_chunks
 from spinterps_spark.operators.rollup import (
     DEFAULT_MIN_CNT, METRIC_COLS, base_rollup, rollup_tier)
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
@@ -121,17 +121,44 @@ def run_refresh_pass(
     cfmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
     horizons = tier_horizons(spark, out_dir)
 
+    # validate this refresh's metric set against what the pipeline stamped
+    # into its commit rows (settings-as-attributes): latest-wins replaces
+    # ALL of a refreshed conv's metrics at once, so a mismatched set would
+    # silently thin per-conv metric coverage with no failure anywhere
+    mine = json.dumps([fill_metric, *sorted(extra_fill_metrics or {})])
+    stamped = [s["fill_metrics"] for s in rfmt.snapshots()
+               if s.get("fill_metrics")]
+    if stamped and stamped[-1] != mine:
+        raise ValueError(
+            f"refresh metric set {mine} does not match the store's "
+            f"{stamped[-1]} — pass the same fill_metric/extra_fill_metrics "
+            "the pipeline used"
+        )
+
     # the affected-conv list is PART of the published metadata: readers
     # resolve latest-wins with it (generations.read_current), so it lives
     # next to the delta under a run-keyed path and is written once.
     convs_loc = os.path.join(out_dir, f"refresh/run={run_id}/convs")
     convs = new_turns.select("conv_id").distinct()
-    # resume on the COMMIT marker, not directory existence: a crashed
-    # partial write leaves the dir behind, and reusing it would either
-    # fail every retry or (committer v2) serve an incomplete conv list —
-    # which read_current's anti join would turn into duplicate conv
-    # versions. mode('overwrite') replaces any partial remnant.
-    if not os.path.exists(os.path.join(convs_loc, "_SUCCESS")):
+    # resume on evidence of a COMPLETED write, not bare directory
+    # existence: a crashed partial write leaves the dir behind, and
+    # reusing it would either fail every retry or (committer v2) serve an
+    # incomplete conv list — which read_current's anti join would turn
+    # into duplicate conv versions. mode('overwrite') replaces any
+    # partial remnant. Marker-less committers (marksuccessfuljobs=false)
+    # count as complete when part files exist with no in-flight
+    # _temporary dir — never rewriting a published list a concurrent
+    # reader may be resolving against.
+    def _complete(p):
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return True
+        return (
+            os.path.isdir(p)
+            and not os.path.isdir(os.path.join(p, "_temporary"))
+            and any(f.startswith("part-") for f in os.listdir(p))
+        )
+
+    if not _complete(convs_loc):
         convs.write.mode("overwrite").parquet(convs_loc)
     convs = spark.read.parquet(convs_loc)
     n_convs = convs.count()
@@ -203,11 +230,13 @@ def run_refresh_pass(
                     "extra_fill_metrics requires a fill_method (the "
                     "no-fill encode path is single-metric)"
                 )
-            ser = merged.where(F.col("valid")).select(
-                "conv_id", "bucket_ts",
-                (F.col("tok_len_sum") / F.col("turn_cnt")).alias(fill_metric),
-                *[F.expr(x).alias(n) for n, x in extras.items()],
+            from spinterps_spark.plans.pipeline import fused_fill_builder
+
+            project, chunker = fused_fill_builder(
+                fill_metric, fill_method, coords, vg_dim, drift,
+                drift_cols, fill_knobs, extras,
             )
+            ser = project(merged.where(F.col("valid")))
             hz = horizons.get(tier)
             if fill_method is None:
                 # no-fill store: refs ARE the content — exact trim at the
@@ -226,18 +255,10 @@ def run_refresh_pass(
                 # (grid_min_ts) — pre-horizon refs must keep anchoring the
                 # interpolation or filled points just after the horizon
                 # vanish vs a full rebuild (code-review r6 finding #1);
-                # aged-out grid points are still never emitted
-                def chunk(sub, _tier=tier, _hz=hz):
-                    return gapfill_virtual_chunks(
-                        sub, fill_metric, method=fill_method, tier=_tier,
-                        coords=coords, vg_dim=vg_dim,
-                        drift=drift, drift_cols=drift_cols,
-                        grid_min_ts=None if _hz is None else int(_hz),
-                        extra_value_cols=list(extras) or None,
-                        chunk_buckets=fill_knobs.get("chunk_buckets", 3840),
-                        **{k: v for k, v in fill_knobs.items()
-                           if k not in ("chunk_buckets", "pad_buckets")},
-                    )
+                # aged-out grid points are still never emitted. The
+                # closure itself is the pipeline's own (fused_fill_builder)
+                # so the two call sites cannot drift.
+                chunk = chunker(tier, None if hz is None else int(hz))
 
             chunks = run_waved_pass(
                 spark, ser, chunk, chunk_loc, ckpt, run_id,

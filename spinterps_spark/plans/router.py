@@ -64,6 +64,7 @@ def query_range(
         raise KeyError(f"unknown resolution {resolution!r}; use one of {TIERS}")
     horizons = tier_horizons(spark, out_dir)
     legs = []
+    multi_metric = False
     hi = int(t_max)
     lo_req = int(t_min)
     for tier in TIERS:
@@ -74,6 +75,7 @@ def query_range(
         rows = current_chunks(spark, out_dir, tier)
         if rows is None:
             continue
+        multi_metric = multi_metric or "metric" in rows.columns
         lo = max(lo_req, horizons.get(tier, 0))
         if lo > hi:
             continue  # tier's whole holding is newer than the remaining range
@@ -86,9 +88,12 @@ def query_range(
         legs.append(leg.select(*cols))
         hi = lo - 1  # older range falls through to the next coarser tier
     if not legs:
-        return spark.createDataFrame(
-            [], "conv_id string, tier string, bucket_ts timestamp, value double"
-        )
+        # schema-stable even when empty: a multi-metric store's routed
+        # reads always carry the metric column
+        schema = "conv_id string, tier string, bucket_ts timestamp, value double"
+        if multi_metric:
+            schema += ", metric string"
+        return spark.createDataFrame([], schema)
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionAll(leg)

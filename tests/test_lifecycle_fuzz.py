@@ -198,7 +198,7 @@ def test_random_interleavings_with_retention_horizons(spark, tmp_path):
         for conv, hz_r in refresh_hz.items():
             mask = want["conv_id"] == conv
             if hz_r is not None:
-                keep |= False  # no-op, clarity: trims below compose
+                # per-conv trims compose with the global window rule
                 keep &= ~mask | (ep >= hz_r)
         want = want[keep].reset_index(drop=True)
         pd.testing.assert_frame_equal(

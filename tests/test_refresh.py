@@ -397,3 +397,38 @@ def test_multi_metric_pipeline_refresh_equals_full_recompute(spark, tmp_path):
                   routed.groupBy("metric").count().collect()}
     assert set(per_metric) == {"tok_len_mean", "turn_rate", "user_frac"}
     assert len(set(per_metric.values())) == 1  # same grid per metric
+
+
+def test_refresh_rejects_mismatched_metric_set(spark, tmp_path):
+    """The pipeline stamps its metric set into the commit rows; a refresh
+    with a different set must refuse — latest-wins would otherwise
+    replace refreshed convs' chunks with a thinner metric set, silently
+    breaking per-conv metric coverage."""
+    t = datagen.transcripts_spark(spark, seed=59, n_turns_target=800)
+    pred = F.substring(F.md5("conv_id"), 1, 1) >= "c"
+    d = str(tmp_path / "s")
+    run_retention_pipeline(
+        spark, t.where(~pred), d, tiers=("1m",), n_waves=2, gorilla=True,
+        fuse_fill_and_chunks=True, run_id="p0",
+        extra_fill_metrics={"turn_rate": "CAST(turn_cnt AS DOUBLE)"})
+    with pytest.raises(ValueError, match="metric set"):
+        run_refresh_pass(spark, t.where(pred), d, tiers=("1m",),
+                         n_waves=2, run_id="r1")  # extras omitted
+    # the matching set is accepted
+    m = run_refresh_pass(
+        spark, t.where(pred), d, tiers=("1m",), n_waves=2, run_id="r2",
+        extra_fill_metrics={"turn_rate": "CAST(turn_cnt AS DOUBLE)"})
+    assert m["tiers"]["1m"]["commit"] == "published"
+
+
+def test_multi_metric_rejects_duplicate_names(spark):
+    from spinterps_spark.operators.gapfill import gapfill_virtual_chunks
+
+    ser = spark.createDataFrame(
+        [], "conv_id string, bucket_ts timestamp, v double")
+    with pytest.raises(ValueError, match="distinct"):
+        gapfill_virtual_chunks(ser, "v", method="IDW", tier="1m",
+                               extra_value_cols=["v"])
+    with pytest.raises(ValueError, match="distinct"):
+        gapfill_virtual_chunks(ser, "v", method="IDW", tier="1m",
+                               extra_value_cols=["a", "a"])

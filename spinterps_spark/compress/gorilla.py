@@ -429,6 +429,7 @@ def read_chunks_pruned(
     conv_ids: list[str] | None = None,
     t_min=None,
     t_max=None,
+    chunk_size_bound: int | None = None,
 ):
     """S3/S4 analog — selective cube read with coordinate/time selection.
 
@@ -480,13 +481,22 @@ def read_chunks_pruned(
                 "column (written by a pre-r6 encoder?) — re-encode, or "
                 "decode unpruned via decode_tier_chunks"
             )
-        # one columnar-scan aggregate over a single int column (parquet
-        # reads only tier + chunk_size); max() is the conservative span
-        # when rows were appended under mixed encode settings.
-        enc_size = chunks.agg(F.max("chunk_size")).first()[0]
-        if enc_size is None:
-            # no chunks survive the tier/conv filters — nothing to prune
-            enc_size = DEFAULT_CHUNK
+        if chunk_size_bound is not None:
+            # metadata-derived bound (plans/generations.tier_chunk_size_bound
+            # — stamped by the commits that published the rows, NOT a caller
+            # claim): skips the eager per-read aggregate the router used to
+            # pay once per tier leg (ADVICE r6 #5). A loose bound only
+            # loosens the pushable lower bound (safe superset); the exact
+            # post-decode trim is unchanged.
+            enc_size = int(chunk_size_bound)
+        else:
+            # one columnar-scan aggregate over a single int column (parquet
+            # reads only tier + chunk_size); max() is the conservative span
+            # when rows were appended under mixed encode settings.
+            enc_size = chunks.agg(F.max("chunk_size")).first()[0]
+            if enc_size is None:
+                # no chunks survive the tier/conv filters — nothing to prune
+                enc_size = DEFAULT_CHUNK
         span = int(enc_size) * TIER_SECONDS[tier]
         # chunk keys come from (epoch/span).cast('long'), which truncates
         # toward zero — around epoch 0 a chunk window can be (-span, span),

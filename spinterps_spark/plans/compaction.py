@@ -51,7 +51,7 @@ import os
 import time
 
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
-from spinterps_spark.sources.tableformat import tier_tables
+from spinterps_spark.sources.tableformat import tier_tables, unchanged_tier_validator
 
 
 def _local_path(uri: str) -> str:
@@ -115,6 +115,9 @@ def run_compaction_pass(
         return {"run_id": run_id, "tier": tier, "commit": "skipped",
                 "wall_sec": time.time() - t0}
 
+    # pin the tier history the rewrite folds; revalidated under the commit's
+    # atomic claim so a concurrent refresh delta can't be silently dropped
+    validate = unchanged_tier_validator(fmt, tier)
     _, src, files = _tier_source(spark, out_dir, tier)
     bytes_before = sum(
         os.path.getsize(p) for p in files if os.path.exists(p)
@@ -136,13 +139,23 @@ def run_compaction_pass(
     bytes_after = sum(
         os.path.getsize(p) for p in files_after if os.path.exists(p)
     )
+    # one narrow int-column aggregate per (rare, maintenance-time) pass so
+    # every (frequent) routed read can take the pruning span from commit
+    # metadata instead of running its own max(chunk_size) job (ADVICE r6 #5)
+    cs_max = 0
+    if "chunk_size" in compacted.columns:
+        import pyspark.sql.functions as F
+
+        cs_max = compacted.agg(F.max("chunk_size")).first()[0] or 0
     props = {
         "run_id": run_id, "stage": stage,
         "target_file_mb": int(target_file_mb),
         "files_before": len(files), "files_after": len(files_after),
         "bytes_before": int(bytes_before), "bytes_after": int(bytes_after),
+        "chunk_size_max": int(cs_max),
     }
-    commit_id = fmt.commit_tier(tier, compacted, gen_loc, props)
+    commit_id = fmt.commit_tier(tier, compacted, gen_loc, props,
+                                validate=validate)
     return {
         "run_id": run_id, "tier": tier, "commit": commit_id,
         "files_before": len(files), "files_after": len(files_after),

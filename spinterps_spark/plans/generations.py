@@ -86,14 +86,17 @@ def generation_plan(fmt, tier: str, default_base: str, as_of: str | None = None)
     return base, deltas
 
 
-def _raise_if_expired(fmt, tier: str, as_of: str, missing: str):
-    """A time-travel read hit a missing generation dir: name the vacuum
-    commit that expired it. Vacuum deletes idempotently FIRST and commits
-    last (so its own crash recovery converges), which leaves a window
-    where a crashed vacuum removed the dir but no row records it yet —
-    the FileNotFoundError branch names that case and its remedy."""
+def _raise_if_expired(fmt, tier: str, as_of: str | None, missing: str):
+    """A read hit a missing generation dir: name the vacuum commit that
+    expired it. Vacuum deletes idempotently FIRST and commits last (so its
+    own crash recovery converges), which leaves a window where a crashed
+    vacuum removed the dir but no row records it yet — the
+    FileNotFoundError branch names that case and its remedy. as_of=None is
+    the CURRENT view (which should never reference an expired dir; a miss
+    there is external deletion or a crashed vacuum)."""
     import json as _json
 
+    what = f"snapshot {as_of!r}" if as_of is not None else "current view"
     for s in fmt.snapshots():
         if s.get("tier") != tier or not str(s.get("stage", "")).startswith(
             "vacuum:"
@@ -101,13 +104,13 @@ def _raise_if_expired(fmt, tier: str, as_of: str, missing: str):
             continue
         if missing in _json.loads(s.get("expired_locations", "[]")):
             raise RuntimeError(
-                f"snapshot {as_of!r} of tier={tier} is no longer readable: "
+                f"{what} of tier={tier} is no longer readable: "
                 f"generation {missing} was expired by vacuum run "
                 f"{s.get('run_id')!r} (commit {s.get('commit_id')!r}). "
                 "Raise keep_last on run_vacuum_pass to retain more history."
             )
     raise FileNotFoundError(
-        f"snapshot {as_of!r} of tier={tier}: generation data missing at "
+        f"{what} of tier={tier}: generation data missing at "
         f"{missing} with no vacuum row recording it — either it was "
         "deleted outside the engine, or a vacuum pass crashed between its "
         "deletes and its commit; re-run that vacuum (same run_id) to "
@@ -123,16 +126,23 @@ def read_current(spark, fmt, tier: str, default_base: str,
     an explicit expired-by-vacuum error instead of a silently partial
     result when the old generation's files are gone."""
     base, deltas = generation_plan(fmt, tier, default_base, as_of=as_of)
+    # scheme-strip BEFORE globbing: a file://-schemed data_location would
+    # make glob return [] and silently drop the base from the merged view
+    # (ADVICE r6 #1) — deltas below were already stripped
+    base_glob = _strip_scheme(base)
+    base_hits = _glob.glob(base_glob)
+    if not base_hits and base != default_base:
+        # a COMMITTED generation resolving to no files is never a normal
+        # empty tier (only the never-published default base can be): for
+        # time travel it's usually vacuum expiry, for the current view it's
+        # external deletion or a crashed vacuum — raise loudly either way
+        # instead of serving a silently partial merged view
+        _raise_if_expired(fmt, tier, as_of, os.path.dirname(base))
     if as_of is not None:
-        # current-view reads never reference expired dirs (vacuum deletes
-        # only superseded generations); time travel can, so check before
-        # Spark turns a missing dir into an empty/partial scan
-        if base != default_base and not _glob.glob(base):
-            _raise_if_expired(fmt, tier, as_of, os.path.dirname(base))
         for s in deltas:
             if not os.path.isdir(_strip_scheme(s["data_location"])):
                 _raise_if_expired(fmt, tier, as_of, s["data_location"])
-    base_df = spark.read.parquet(base) if _glob.glob(base) else None
+    base_df = spark.read.parquet(base_glob) if base_hits else None
     if not deltas:
         return base_df
     # walk the delta chain newest-first, accumulating the conv set that
@@ -174,6 +184,42 @@ def current_rollup(spark, out_dir: str, tier: str,
         spark, fmt, tier,
         os.path.join(out_dir, f"rollup/tier={tier}", "wave=*"), as_of=as_of,
     )
+
+
+def tier_chunk_size_bound(spark, out_dir: str, tier: str) -> int | None:
+    """Upper bound on the `chunk_size` of every row in the tier's CURRENT
+    chunk view, derived from commit metadata alone (chunk_size_max stamped
+    by refresh/retention/compaction/flatten commits). None when the chain
+    is anchored by the pipeline's never-committed layout dirs or any chain
+    link lacks the property (pre-r7 store) — callers then fall back to the
+    per-read max(chunk_size) aggregate. This is NOT a caller claim (the r5
+    trap): every stamped value was computed from, or is the exact encode
+    setting of, the rows that commit published."""
+    fmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
+    bound: int | None = None
+    have_base = False
+    for s in fmt.snapshots():
+        if s.get("tier") != tier:
+            continue
+        stage = str(s.get("stage", ""))
+        if stage.startswith("vacuum:"):
+            continue
+        raw = s.get("chunk_size_max")
+        try:
+            v = int(raw) if raw is not None else None
+        except (TypeError, ValueError):
+            v = None
+        if v is not None and v <= 0:
+            v = None  # stamped over an empty source: no information
+        if stage.startswith("refresh:"):
+            # delta over the existing chain: bound must cover both sides
+            if have_base and bound is not None:
+                bound = max(bound, v) if v is not None else None
+        else:
+            # full rewrite: resets the chain, its own bound stands alone
+            have_base = True
+            bound = v
+    return bound if have_base else None
 
 
 def tier_horizons(spark, out_dir: str) -> dict[str, int]:

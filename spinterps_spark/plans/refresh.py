@@ -43,7 +43,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from spinterps_spark.compress.gorilla import encode_tier_chunks
+from spinterps_spark.compress.gorilla import DEFAULT_CHUNK, encode_tier_chunks
 from spinterps_spark.operators.rollup import (
     DEFAULT_MIN_CNT, METRIC_COLS, base_rollup, rollup_tier)
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
@@ -158,14 +158,20 @@ def run_refresh_pass(
             and any(f.startswith("part-") for f in os.listdir(p))
         )
 
-    if not _complete(convs_loc):
-        convs.write.mode("overwrite").parquet(convs_loc)
-    convs = spark.read.parquet(convs_loc)
-    n_convs = convs.count()
+    if _complete(convs_loc):
+        convs = spark.read.parquet(convs_loc)
+        n_convs = convs.count()
+    else:
+        # count BEFORE writing the sidecar: an empty late-data batch must
+        # not grow the delta chain (every published delta adds an anti join
+        # to every future read), and its convs dir — referenced by no
+        # commit, hence invisible to vacuum's refcounting — would leak
+        # forever (ADVICE r6 #2)
+        n_convs = convs.count()
+        if n_convs:
+            convs.write.mode("overwrite").parquet(convs_loc)
+            convs = spark.read.parquet(convs_loc)
     if n_convs == 0:
-        # an empty late-data batch must not grow the delta chain: every
-        # published delta adds an anti join to every future read until the
-        # next compaction flattens it
         return {"run_id": run_id, "n_affected_convs": 0, "tiers": {},
                 "wall_sec": time.time() - t0}
 
@@ -268,6 +274,13 @@ def run_refresh_pass(
                 "run_id": run_id, "stage": stage,
                 "convs_location": convs_loc, "n_affected_convs": n_convs,
                 "horizon_ts": int(hz) if hz is not None else 0,
+                # encode-time bound for THIS delta's rows (the exact setting
+                # stamped into every row): lets routed reads derive the
+                # pruning span from commit metadata instead of an eager
+                # max(chunk_size) scan per leg (ADVICE r6 #5)
+                "chunk_size_max": int(
+                    fill_knobs.get("gorilla_chunk", DEFAULT_CHUNK)
+                    if fill_method is not None else DEFAULT_CHUNK),
             })
             metrics["tiers"][tier] = {
                 "commit": "published", "wall_sec": time.time() - t_tier,

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from spinterps_spark import TIER_SECONDS
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
-from spinterps_spark.sources.tableformat import tier_tables
+from spinterps_spark.sources.tableformat import tier_tables, unchanged_tier_validator
 
 
 def _window_end(tier: str):
@@ -96,7 +96,11 @@ def run_retention_pass(
     # this folds any refresh deltas into the new generation and keeps the
     # generation chain monotone — a retention pass after a refresh must not
     # resurrect superseded conv versions, and one after a compaction must
-    # not discard its clustering.
+    # not discard its clustering. The validator pins the tier history THIS
+    # read is based on; the commit below revalidates it under the atomic
+    # claim so a concurrently-published delta can never be silently folded
+    # away (optimistic concurrency, sources/tableformat.py).
+    validate = unchanged_tier_validator(fmt, tier)
     src = read_tier_chunks(spark, out_dir, tier)
     if "chunk_size" not in src.columns:
         raise ValueError(
@@ -112,6 +116,10 @@ def run_retention_pass(
         F.sum("n").alias("p_all"),
         F.count(F.when(keep_pred, 1)).alias("c_keep"),
         F.sum(F.when(keep_pred, F.col("n"))).alias("p_keep"),
+        # true per-row max over the source (a superset of what survives):
+        # stamped into the commit so routed reads derive the pruning span
+        # from metadata, not a per-read aggregate (ADVICE r6 #5)
+        F.max("chunk_size").alias("cs_max"),
     ).first()
 
     # deterministic generation path: resume with the same run_id lands in
@@ -130,7 +138,9 @@ def run_retention_pass(
             "chunks_kept": int(stats.c_keep or 0),
             "points_total": int(stats.p_all or 0),
             "points_kept": int(stats.p_keep or 0),
+            "chunk_size_max": int(stats.cs_max or 0),
         },
+        validate=validate,
     )
     return {
         "run_id": run_id, "tier": tier, "commit": commit_id,

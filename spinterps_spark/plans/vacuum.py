@@ -96,16 +96,27 @@ def run_flatten_pass(
                 "commit": "skipped", "wall_sec": time.time() - t0}
 
     from spinterps_spark.plans.generations import generation_plan
+    from spinterps_spark.sources.tableformat import unchanged_tier_validator
 
+    # pin the tier history before reading it; revalidated under the commit's
+    # atomic claim (a refresh delta landing DURING the fold would otherwise
+    # be silently superseded by the published full generation)
+    validate = unchanged_tier_validator(fmt, tier)
     _, deltas = generation_plan(fmt, tier, _default_base(out_dir, table, tier))
+    gen_loc = os.path.join(out_dir, f"{table}_flat/tier={tier}/gen={run_id}")
     if not deltas:
+        # a resumed run can reach here when a retention/compaction full
+        # rewrite emptied the chain in between: its partial waves +
+        # _folded.json were never committed, so they'd orphan forever
+        # (never a vacuum candidate) — remove them before the noop
+        if os.path.isdir(gen_loc):
+            shutil.rmtree(gen_loc)
         return {"run_id": run_id, "tier": tier, "table": table,
                 "commit": "noop", "n_deltas_folded": 0,
                 "wall_sec": time.time() - t0}
 
     src = read_current(spark, fmt, tier, _default_base(out_dir, table, tier))
     ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
-    gen_loc = os.path.join(out_dir, f"{table}_flat/tier={tier}/gen={run_id}")
     # pin the delta set this run folds: a --resume after a crash reuses
     # done waves, which captured the state at the ORIGINAL start — if a
     # refresh delta committed in between, publishing would supersede (and
@@ -133,10 +144,17 @@ def run_flatten_pass(
         ckpt, run_id, f"flatten_{table}:{tier}",
         n_waves=n_waves, one_pass=one_pass,
     )
-    commit_id = fmt.commit_tier(
-        tier, flat, gen_loc,
-        {"run_id": run_id, "stage": stage, "n_deltas_folded": len(deltas)},
-    )
+    props = {"run_id": run_id, "stage": stage,
+             "n_deltas_folded": len(deltas)}
+    if "chunk_size" in flat.columns:
+        # keep the metadata-derived pruning span alive across a flatten of
+        # the chunks table (same contract as retention/compaction commits)
+        import pyspark.sql.functions as F
+
+        props["chunk_size_max"] = int(
+            flat.agg(F.max("chunk_size")).first()[0] or 0)
+    commit_id = fmt.commit_tier(tier, flat, gen_loc, props,
+                                validate=validate)
     return {"run_id": run_id, "tier": tier, "table": table,
             "commit": commit_id, "n_deltas_folded": len(deltas),
             "wall_sec": time.time() - t0}
@@ -187,12 +205,66 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+_ORPHAN_PATTERNS = (
+    # every managed generation layout a pass writes BEFORE its commit —
+    # a crash in that window (or a pre-r7 empty-batch refresh) leaves the
+    # dir referenced by no snapshot row, invisible to normal expiry
+    "rollup_refresh/tier=*/gen=*",
+    "chunks_refresh/tier=*/gen=*",
+    "chunks_retained/tier=*/gen=*",
+    "chunks_compacted/tier=*/gen=*",
+    "rollup_flat/tier=*/gen=*",
+    "chunks_flat/tier=*/gen=*",
+    "refresh/run=*/convs",
+)
+
+
+def _sweep_orphans(out_dir: str, snaps: dict[str, list[dict]],
+                   min_age_sec: float) -> dict:
+    """Iceberg `remove_orphan_files` analog: delete managed generation dirs
+    referenced by NO snapshot row in either table log, skipping anything
+    younger than `min_age_sec` (an in-flight pass's uncommitted output is
+    exactly such an unreferenced dir — age is the standard guard)."""
+    import glob as _g
+
+    referenced = set()
+    for rows in snaps.values():
+        for s in rows:
+            for key in ("data_location", "convs_location"):
+                loc = s.get(key)
+                if loc:
+                    referenced.add(os.path.realpath(_strip_scheme(loc)))
+    now = time.time()
+    removed, freed = [], 0
+    for pat in _ORPHAN_PATTERNS:
+        for p in _g.glob(os.path.join(out_dir, pat)):
+            rp = os.path.realpath(p)
+            if rp in referenced or not os.path.isdir(rp):
+                continue
+            newest = os.path.getmtime(rp)
+            for root, _dirs, files in os.walk(rp):
+                for f in files:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        pass
+            if now - newest < min_age_sec:
+                continue
+            freed += _dir_bytes(rp)
+            shutil.rmtree(rp)
+            removed.append(p)
+    return {"n_removed": len(removed), "bytes_freed": freed,
+            "removed": sorted(removed)}
+
+
 def run_vacuum_pass(
     spark,
     out_dir: str,
     tiers: list[str] | tuple[str, ...] | None = None,
     keep_last: int = 1,
     run_id: str | None = None,
+    orphan_min_age_sec: float | None = None,
 ) -> dict:
     """Expire generation directories superseded beyond `keep_last` full
     generations, on both table roots, and commit metadata-only
@@ -203,6 +275,13 @@ def run_vacuum_pass(
     original pipeline layout dirs are never candidates (they are not in the
     snapshot log), and a convs sidecar shared by the rollup and chunks logs
     is deleted only when neither table's kept rows reference it.
+
+    orphan_min_age_sec (opt-in): additionally sweep managed generation dirs
+    no snapshot row in EITHER log references — crashed never-committed runs
+    — when their newest file is older than this age (the age guard keeps an
+    in-flight pass's uncommitted output safe; Iceberg's remove_orphan_files
+    ships the same contract). Orphans were never committed, so their
+    removal is reported in the metrics dict, not in a snapshot row.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the current generation "
@@ -310,6 +389,11 @@ def run_vacuum_pass(
             "commit": "published", "n_expired": len(expired),
             "bytes_freed": freed,
         }
+
+    if orphan_min_age_sec is not None:
+        metrics["orphans"] = _sweep_orphans(
+            out_dir, snaps, orphan_min_age_sec)
+        freed_total += metrics["orphans"]["bytes_freed"]
 
     metrics["bytes_freed"] = freed_total
     metrics["wall_sec"] = time.time() - t0

@@ -14,9 +14,19 @@ isolates the format decision:
   (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog).
 - ParquetTierTables: same contract on plain parquet — data lives in the
   waved directories the pipeline already wrote; a commit is a metadata-only
-  append of one JSON line (commit uuid, utc ts, properties) to
-  `_snapshots.jsonl`, mirroring Iceberg's metadata-commit model instead of
-  rewriting data.
+  versioned file `_snapshots.d/v<N>.json` claimed with an ATOMIC hard link
+  (write temp, fsync, os.link to the next free version; FileExistsError =
+  lost the race -> revalidate and retry at N+1), mirroring Iceberg's
+  optimistic-concurrency metadata commits instead of rewriting data. Two
+  concurrent maintenance passes can never interleave or lose a commit:
+  exactly one writer wins each version (tests/test_tableformat.py runs 8
+  processes x 10 commits). Full-rewrite passes (retention / compaction /
+  flatten) additionally pass a `validate` hook so a commit that would
+  silently drop a concurrently-published refresh delta raises
+  CommitConflictError instead (Iceberg's serializable snapshot isolation,
+  reference precedent: the Manager().Lock()-serialized writer,
+  interp/main.py:94). Legacy `_snapshots.jsonl` stores keep reading: its
+  lines order before the versioned files.
 
 `tier_tables(spark, location)` picks the first available implementation.
 tests/test_tableformat.py exercises the parquet path and carries the
@@ -31,6 +41,47 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """A commit's `validate` precondition no longer holds: another writer
+    published to the same tier between this pass's read and its commit.
+    The pass must re-run (fresh run_id) against the new current view."""
+
+
+def tier_data_commit_ids(snapshots: list[dict], tier: str) -> list[str]:
+    """The tier's data-bearing commit ids in log order (vacuum rows are
+    metadata-only expiry markers and don't change the current view)."""
+    return [
+        s.get("commit_id") for s in snapshots
+        if s.get("tier") == tier
+        and not str(s.get("stage", "")).startswith("vacuum:")
+    ]
+
+
+def unchanged_tier_validator(fmt, tier: str):
+    """Capture the tier's data history NOW; returns a `validate` hook for
+    commit_tier that raises CommitConflictError if any other writer
+    published to the tier in between. Full-rewrite passes (retention,
+    compaction, flatten) use this: their output folds the merged view they
+    READ, so a concurrent refresh delta would be silently dropped by an
+    unvalidated publish — the lost-update the optimistic protocol exists
+    to prevent."""
+    seen = tier_data_commit_ids(fmt.snapshots(), tier)
+
+    def validate(snapshots: list[dict]):
+        now = tier_data_commit_ids(snapshots, tier)
+        if now != seen:
+            raise CommitConflictError(
+                f"tier={tier}: the snapshot log gained "
+                f"{len(now) - len(seen)} commit(s) since this pass read its "
+                "source (a concurrent refresh/rewrite published) — "
+                "publishing this full rewrite would silently drop them. "
+                "Re-run the pass with a fresh run_id against the current "
+                "view."
+            )
+
+    return validate
 
 
 def iceberg_available(spark) -> bool:
@@ -55,9 +106,14 @@ class IcebergTierTables:
         self._created = False
 
     def commit_tier(self, tier: str, df: DataFrame, location: str,
-                    run_props: dict) -> str:
+                    run_props: dict, validate=None) -> str:
         """Append one tier's rows as a single Iceberg commit whose snapshot
-        summary carries the run settings (north-rule requirement)."""
+        summary carries the run settings (north-rule requirement).
+        `validate` is applied against the current snapshot list before the
+        write (best-effort; Iceberg's own optimistic commit + serializable
+        snapshot isolation is the real concurrency mechanism here)."""
+        if validate is not None:
+            validate(self.snapshots())
         commit_id = uuid.uuid4().hex
         out = df.withColumn("tier", F.lit(tier))
         writer = out.writeTo(self.table)
@@ -100,19 +156,46 @@ class IcebergTierTables:
 
 class ParquetTierTables:
     """Parquet fallback with the same commit contract. Data files are the
-    waved parquet the pipeline already wrote under `location`; a commit
-    appends one JSON line of properties to _snapshots.jsonl (metadata-only,
-    like an Iceberg snapshot; no data rewrite)."""
+    waved parquet the pipeline already wrote under `location`; a commit is
+    one versioned metadata file under _snapshots.d/, claimed atomically
+    (Iceberg's vN.metadata.json protocol shape — write temp, fsync,
+    hard-link to the next free version, retry-with-revalidation when
+    another writer claimed it first). Legacy _snapshots.jsonl lines (pre-r7
+    stores) are still read, ordered before the versioned files."""
+
+    # bounded retry: every FileExistsError means ANOTHER writer committed
+    # (lock-free system-wide progress), so this is hit only by a pathological
+    # writer storm — fail loudly rather than spin forever.
+    MAX_COMMIT_ATTEMPTS = 10_000
 
     def __init__(self, spark, location: str):
         self.spark = spark
         self.location = location
-        self._log = os.path.join(location, "_snapshots.jsonl")
+        self._legacy_log = os.path.join(location, "_snapshots.jsonl")
+        self._snap_dir = os.path.join(location, "_snapshots.d")
+
+    def _version_files(self) -> list[tuple[int, str]]:
+        if not os.path.isdir(self._snap_dir):
+            return []
+        out = []
+        for name in os.listdir(self._snap_dir):
+            # crash-orphaned .tmp-* files are invisible to readers
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    n = int(name[1:-5])
+                except ValueError:
+                    continue
+                out.append((n, os.path.join(self._snap_dir, name)))
+        out.sort()
+        return out
 
     def commit_tier(self, tier: str, df: DataFrame | None, location: str,
-                    run_props: dict) -> str:
+                    run_props: dict, validate=None) -> str:
+        """Publish one metadata commit; `validate(snapshots)` (optional) is
+        re-run under every claim attempt and may raise CommitConflictError
+        — the optimistic-concurrency revalidation step."""
         commit_id = uuid.uuid4().hex
-        os.makedirs(self.location, exist_ok=True)
+        os.makedirs(self._snap_dir, exist_ok=True)
         rec = {
             **{k: str(v) for k, v in run_props.items()},
             "tier": tier,
@@ -122,16 +205,47 @@ class ParquetTierTables:
             ).isoformat(),
             "data_location": location,
         }
-        # single O_APPEND write: one line per commit, driver-side only
-        with open(self._log, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        return commit_id
+        tmp = os.path.join(self._snap_dir, f".tmp-{commit_id}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            for _attempt in range(self.MAX_COMMIT_ATTEMPTS):
+                if validate is not None:
+                    validate(self.snapshots())
+                versions = self._version_files()
+                n = versions[-1][0] + 1 if versions else 1
+                target = os.path.join(self._snap_dir, f"v{n:010d}.json")
+                try:
+                    # atomic claim: exactly one writer can link version N
+                    os.link(tmp, target)
+                except FileExistsError:
+                    continue  # lost the race — revalidate, try N+1
+                # durability of the claim itself (the linked name)
+                dfd = os.open(self._snap_dir, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+                return commit_id
+            raise CommitConflictError(
+                f"gave up claiming a snapshot version under "
+                f"{self._snap_dir} after {self.MAX_COMMIT_ATTEMPTS} "
+                "attempts — writer storm?"
+            )
+        finally:
+            os.unlink(tmp)
 
     def snapshots(self) -> list[dict]:
-        if not os.path.exists(self._log):
-            return []
-        with open(self._log) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        out: list[dict] = []
+        if os.path.exists(self._legacy_log):
+            with open(self._legacy_log) as f:
+                out.extend(json.loads(line) for line in f if line.strip())
+        for _n, path in self._version_files():
+            with open(path) as f:
+                out.append(json.load(f))
+        return out
 
     def committed(self, run_id: str, stage: str) -> bool:
         return any(
@@ -147,6 +261,34 @@ class ParquetTierTables:
                 raise FileNotFoundError(f"no commit for tier={tier}")
             loc = snaps[-1]["data_location"]
         return self.spark.read.parquet(os.path.join(loc, "wave=*"))
+
+
+def remove_commits(location: str, match) -> int:
+    """Surgically drop snapshot records where `match(rec)` is true, across
+    BOTH log layouts (legacy jsonl lines and versioned files). Owned by the
+    format module so crash-simulation tests and break-glass ops never
+    hand-parse the layout; returns the number of records removed."""
+    removed = 0
+    legacy = os.path.join(location, "_snapshots.jsonl")
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        keep = [r for r in recs if not match(r)]
+        removed += len(recs) - len(keep)
+        with open(legacy, "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in keep)
+    snap_dir = os.path.join(location, "_snapshots.d")
+    if os.path.isdir(snap_dir):
+        for name in os.listdir(snap_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            path = os.path.join(snap_dir, name)
+            with open(path) as f:
+                rec = json.load(f)
+            if match(rec):
+                os.remove(path)
+                removed += 1
+    return removed
 
 
 def tier_tables(spark, location: str, iceberg_table: str | None = None):

@@ -46,9 +46,8 @@ def test_resume_skips_done_waves_and_matches_single_shot(spark, tdir):
         shutil.rmtree(os.path.join(resume_dir, stage, "wave=1"))
     # a real mid-tier crash happens BEFORE the tier's snapshot commit, so
     # the simulated crash must also drop the tier-table commit record
-    snap = os.path.join(resume_dir, "rollup", "_snapshots.jsonl")
-    if os.path.exists(snap):
-        os.remove(snap)
+    from spinterps_spark.sources.tableformat import remove_commits
+    remove_commits(os.path.join(resume_dir, "rollup"), lambda r: True)
     ck = C.CheckpointLog(spark, os.path.join(resume_dir, "ckpt"))
     kept = ck.read().where("wave = 0").toPandas()
     shutil.rmtree(os.path.join(resume_dir, "ckpt"))

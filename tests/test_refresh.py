@@ -222,11 +222,9 @@ def test_crash_between_rollup_and_chunk_commit_resumes(spark, tmp_path):
 
     # surgically revert the CHUNK side to the pre-commit crash state
     shutil.rmtree(os.path.join(da, "chunks_refresh/tier=1m/gen=rc"))
-    clog = os.path.join(da, "chunks", "_snapshots.jsonl")
-    with open(clog) as f:
-        lines = [ln for ln in f if '"run_id": "rc"' not in ln]
-    with open(clog, "w") as f:
-        f.writelines(lines)
+    from spinterps_spark.sources.tableformat import remove_commits
+    remove_commits(os.path.join(da, "chunks"),
+                   lambda r: r.get("run_id") == "rc")
     # ...including the wave lineage rows of the chunk stage, as a crash
     # before the write job finished would leave them absent
     ck = spark.read.parquet(os.path.join(da, "ckpt"))

@@ -113,7 +113,8 @@ def test_retention_wave_resume_recomputes_only_missing(spark, tmp_path):
 
     # simulate the crash: wave 1 output + lineage + commit line gone
     shutil.rmtree(os.path.join(tdir, "chunks_retained/tier=1m/gen=ret/wave=1"))
-    os.remove(os.path.join(tdir, "chunks", "_snapshots.jsonl"))
+    from spinterps_spark.sources.tableformat import remove_commits
+    remove_commits(os.path.join(tdir, "chunks"), lambda r: True)
     ck = C.CheckpointLog(spark, os.path.join(tdir, "ckpt"))
     kept = ck.read().where(
         "NOT (tier = 'retention:1m' AND wave = 1)").toPandas()

@@ -203,3 +203,129 @@ def test_iceberg_snapshots_and_committed_parse_summaries():
     assert snaps[0]["run_id"] == "r1" and snaps[0]["snapshot_id"] == "11"
     assert fmt.committed("r2", "chunks:1h")
     assert not fmt.committed("r2", "rollup:1h")
+
+
+# ---------------------------------------------------------------------------
+# optimistic-concurrency commit protocol (r7): atomic versioned metadata
+# files, multi-writer safety, revalidation hooks, legacy-log coexistence
+# ---------------------------------------------------------------------------
+
+def _commit_worker(loc, writer_id, n_commits, out_q):
+    """Runs in a CHILD PROCESS: commits n_commits snapshots to one store.
+    Commit needs no SparkSession (metadata-only, driver-side)."""
+    fmt = TF.ParquetTierTables(None, loc)
+    ids = []
+    for k in range(n_commits):
+        ids.append(fmt.commit_tier(
+            "1m", None, os.path.join(loc, "tier=1m"),
+            {"run_id": f"w{writer_id}", "stage": f"refresh:1m",
+             "seq": k},
+        ))
+    out_q.put((writer_id, ids))
+
+
+def test_concurrent_writers_lose_no_commit(tmp_path):
+    """8 processes x 10 commits into ONE store: exactly one writer wins each
+    version, no commit is lost or interleaved (the r6 verdict's top item —
+    the unlocked jsonl append could interleave/double-publish)."""
+    import multiprocessing as mp
+
+    loc = str(tmp_path / "store")
+    os.makedirs(loc)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_commit_worker, args=(loc, w, 10, q))
+        for w in range(8)
+    ]
+    for p in procs:
+        p.start()
+    expected = {}
+    for _ in procs:
+        w, ids = q.get(timeout=120)
+        expected[w] = ids
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+
+    fmt = TF.ParquetTierTables(None, loc)
+    snaps = fmt.snapshots()
+    assert len(snaps) == 80
+    # every commit id present exactly once — nothing lost, nothing doubled
+    got = [s["commit_id"] for s in snaps]
+    assert sorted(got) == sorted(
+        cid for ids in expected.values() for cid in ids)
+    assert len(set(got)) == 80
+    # version numbers are contiguous from 1 (exactly one winner per claim)
+    versions = [n for n, _p in fmt._version_files()]
+    assert versions == list(range(1, 81))
+    # per-writer commit ORDER is preserved in the log (each writer's own
+    # commits are sequential; the log must not interleave a writer with
+    # itself out of order)
+    for w, ids in expected.items():
+        pos = [got.index(c) for c in ids]
+        assert pos == sorted(pos)
+    # no stray tmp files
+    assert not [f for f in os.listdir(os.path.join(loc, "_snapshots.d"))
+                if f.startswith(".tmp-")]
+
+
+def test_commit_validate_conflict(tmp_path):
+    """unchanged_tier_validator: a commit whose read-basis was superseded
+    by a concurrent writer raises CommitConflictError instead of silently
+    dropping the concurrent commit."""
+    loc = str(tmp_path / "store")
+    fmt = TF.ParquetTierTables(None, loc)
+    fmt.commit_tier("1m", None, loc, {"run_id": "p0", "stage": "chunks:1m"})
+
+    validate = TF.unchanged_tier_validator(fmt, "1m")
+    # another writer publishes a refresh delta in between
+    fmt.commit_tier("1m", None, loc, {"run_id": "rX", "stage": "refresh:1m"})
+    with pytest.raises(TF.CommitConflictError, match="fresh run_id"):
+        fmt.commit_tier("1m", None, loc,
+                        {"run_id": "f1", "stage": "flatten:1m"},
+                        validate=validate)
+    # a vacuum row (metadata-only) does NOT trip the validator
+    validate2 = TF.unchanged_tier_validator(fmt, "1m")
+    fmt.commit_tier("1m", None, loc, {"run_id": "v1", "stage": "vacuum:1m"})
+    cid = fmt.commit_tier("1m", None, loc,
+                          {"run_id": "f2", "stage": "flatten:1m"},
+                          validate=validate2)
+    assert cid
+    # nor does another TIER's commit
+    validate3 = TF.unchanged_tier_validator(fmt, "1m")
+    fmt.commit_tier("1h", None, loc, {"run_id": "rY", "stage": "refresh:1h"})
+    assert fmt.commit_tier("1m", None, loc,
+                           {"run_id": "f3", "stage": "flatten:1m"},
+                           validate=validate3)
+
+
+def test_legacy_jsonl_store_coexists(tmp_path):
+    """A pre-r7 store (jsonl lines) keeps its history; new commits land in
+    the versioned dir and order AFTER the legacy lines; remove_commits
+    covers both layouts."""
+    import json
+
+    loc = str(tmp_path / "store")
+    os.makedirs(loc)
+    legacy = [
+        {"tier": "1m", "stage": "chunks:1m", "run_id": "old1",
+         "commit_id": "c-old1", "data_location": loc},
+        {"tier": "1m", "stage": "refresh:1m", "run_id": "old2",
+         "commit_id": "c-old2", "data_location": loc},
+    ]
+    with open(os.path.join(loc, "_snapshots.jsonl"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in legacy)
+
+    fmt = TF.ParquetTierTables(None, loc)
+    assert [s["commit_id"] for s in fmt.snapshots()] == ["c-old1", "c-old2"]
+    new_cid = fmt.commit_tier("1m", None, loc,
+                              {"run_id": "new1", "stage": "refresh:1m"})
+    assert [s["commit_id"] for s in fmt.snapshots()] == [
+        "c-old1", "c-old2", new_cid]
+    assert fmt.committed("old1", "chunks:1m")
+    assert fmt.committed("new1", "refresh:1m")
+
+    n = TF.remove_commits(loc, lambda r: r.get("run_id") in ("old2", "new1"))
+    assert n == 2
+    assert [s["commit_id"] for s in fmt.snapshots()] == ["c-old1"]

@@ -26,6 +26,7 @@ from spinterps_spark.plans.pipeline import run_retention_pipeline
 from spinterps_spark.plans.refresh import run_refresh_pass
 from spinterps_spark.plans.retention import run_retention_pass
 from spinterps_spark.plans.vacuum import run_flatten_pass, run_vacuum_pass
+from spinterps_spark.sources import tableformat
 from spinterps_spark.sources.tableformat import tier_tables
 
 TIER = "1m"
@@ -230,6 +231,11 @@ def test_vacuum_refuses_locations_outside_the_store(spark, store, tmp_path):
     fmt = tier_tables(spark, os.path.join(d, "chunks"))
     evil = str(tmp_path / "outside" / "gen=evil")
     os.makedirs(evil)
+    # the poisoned generation must be READABLE (r7: a committed base
+    # resolving to no files now raises loudly at read time, ADVICE r6 #1) —
+    # the point of THIS test is vacuum's delete-refusal, not read strictness
+    src_wave = glob.glob(os.path.join(d, "chunks", f"tier={TIER}", "wave=*"))[0]
+    shutil.copytree(src_wave, os.path.join(evil, "wave=0"))
     fmt.commit_tier(TIER, None, evil, {"run_id": "evil",
                                        "stage": f"poison:{TIER}"})
     # make the poisoned row expirable by publishing a newer full gen
@@ -333,11 +339,8 @@ def test_flatten_resume_aborts_when_the_delta_chain_moved(spark, tmp_path):
                      n_waves=2, run_id="r1")
     # crash simulation: the flatten ran its waves but its commit was lost
     run_flatten_pass(spark, d, TIER, table="chunks", run_id="fx", n_waves=2)
-    clog = os.path.join(d, "chunks", "_snapshots.jsonl")
-    with open(clog) as f:
-        lines = [ln for ln in f if '"run_id": "fx"' not in ln]
-    with open(clog, "w") as f:
-        f.writelines(lines)
+    tableformat.remove_commits(os.path.join(d, "chunks"),
+                               lambda r: r.get("run_id") == "fx")
     # a new delta lands before the operator resumes
     run_refresh_pass(spark, t.where(h >= "f"), d, tiers=(TIER,),
                      n_waves=2, run_id="r2")
@@ -406,11 +409,8 @@ def test_flatten_midwave_resume_with_unchanged_chain_succeeds(spark, tmp_path):
     # but the manifest (written before the waves) survives
     gen = f"{d}/chunks_flat/tier={TIER}/gen=fz"
     shutil.rmtree(os.path.join(gen, "wave=0"))
-    clog = os.path.join(d, "chunks", "_snapshots.jsonl")
-    with open(clog) as f:
-        lines = [ln for ln in f if '"run_id": "fz"' not in ln]
-    with open(clog, "w") as f:
-        f.writelines(lines)
+    tableformat.remove_commits(os.path.join(d, "chunks"),
+                               lambda r: r.get("run_id") == "fz")
     ck = spark.read.parquet(os.path.join(d, "ckpt"))
     kept = ck.where(f"NOT (run_id = 'fz' AND tier = 'flatten_chunks:{TIER}')")
     kept.write.mode("overwrite").parquet(os.path.join(d, "ckpt_tmp"))

@@ -342,6 +342,40 @@ def cmd_refresh(args) -> int:
     return 0
 
 
+def cmd_evolve(args) -> int:
+    """Add metric k+1 to an existing store without a rebuild
+    (plans/evolve.py): backfill the new metric's chunks from the merged
+    rollup as an additive delta and stamp the evolved metric set —
+    subsequent refreshes must carry it. --metric NAME=SQL_EXPR, repeatable.
+    Reference analog: the cube grows one variable per method in place,
+    interp/prepare.py:360-372."""
+    from spinterps_spark.plans.evolve import run_evolve_pass
+
+    spark = _spark("spinterps_spark.evolve")
+    new_metrics = {}
+    for spec in args.metric:
+        name, _, expr = spec.partition("=")
+        if not expr:
+            raise SystemExit(f"--metric needs NAME=SQL_EXPR, got {spec!r}")
+        new_metrics[name] = expr
+    existing = {}
+    for spec in args.existing or []:
+        name, _, expr = spec.partition("=")
+        existing[name] = expr
+    coords = spark.read.parquet(args.coords) if args.coords else None
+    vg_dim = spark.read.parquet(args.vg_dim) if args.vg_dim else None
+    metrics = run_evolve_pass(
+        spark, args.out, new_metrics,
+        tiers=tuple(args.tiers.split(",")),
+        fill_method=None if args.fill == "none" else args.fill,
+        coords=coords, vg_dim=vg_dim,
+        extra_fill_metrics=existing or None,
+        n_waves=args.waves, run_id=args.resume,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_flatten(args) -> int:
     """Fold a tier's refresh-delta chain into one new full generation
     (plans/vacuum.py): reads drop their per-delta anti joins and collapse
@@ -367,6 +401,7 @@ def cmd_vacuum(args) -> int:
     spark = _spark("spinterps_spark.vacuum")
     metrics = run_vacuum_pass(
         spark, args.out, keep_last=args.keep_last, run_id=args.resume,
+        orphan_min_age_sec=args.orphan_age,
     )
     print(json.dumps(metrics))
     return 0
@@ -573,6 +608,26 @@ def main(argv=None) -> int:
     rf.add_argument("--resume", default=None, help="run_id to resume")
     rf.set_defaults(fn=cmd_refresh)
 
+    ev = sub.add_parser(
+        "evolve",
+        help="add metric k+1 to an existing store without a rebuild "
+             "(additive backfill delta + evolved-set stamp; resumable)")
+    ev.add_argument("--out", required=True,
+                    help="pipeline out_dir holding rollup/ + chunks/")
+    ev.add_argument("--metric", action="append", required=True,
+                    help="NAME=SQL_EXPR over the rollup columns; repeatable")
+    ev.add_argument("--existing", action="append", default=None,
+                    help="the store's CURRENT extra metrics (NAME=SQL_EXPR, "
+                         "repeatable) — must match what the pipeline used")
+    ev.add_argument("--tiers", default="1m,1h")
+    ev.add_argument("--fill", default="IDW",
+                    help="the store's fill method, or 'none'")
+    ev.add_argument("--coords", default=None)
+    ev.add_argument("--vg-dim", dest="vg_dim", default=None)
+    ev.add_argument("--waves", type=int, default=2)
+    ev.add_argument("--resume", default=None, help="run_id to resume")
+    ev.set_defaults(fn=cmd_evolve)
+
     fl = sub.add_parser(
         "flatten",
         help="fold a tier's refresh-delta chain into one full generation "
@@ -593,6 +648,11 @@ def main(argv=None) -> int:
                     help="pipeline out_dir holding rollup/ + chunks/")
     vc.add_argument("--keep-last", dest="keep_last", type=int, default=1,
                     help="full generations of time-travel history to keep")
+    vc.add_argument("--orphan-age", dest="orphan_age", type=float,
+                    default=None,
+                    help="also sweep never-committed generation dirs older "
+                         "than this many seconds (remove_orphan_files "
+                         "analog; off by default)")
     vc.add_argument("--resume", default=None, help="run_id to resume")
     vc.set_defaults(fn=cmd_vacuum)
 

@@ -41,8 +41,12 @@ HISTORY_SCHEMA = (
 def _kind(stage: str) -> str:
     if stage.startswith("refresh:"):
         return "delta"
+    if stage.startswith("evolve:"):
+        return "evolve"  # additive delta: backfill of a new metric
     if stage.startswith("vacuum:"):
         return "vacuum"
+    if stage.startswith("meta:"):
+        return "meta"  # settings-only marker (e.g. evolved metric set)
     return "full"
 
 
@@ -71,7 +75,7 @@ def history(spark, out_dir: str, with_sizes: bool = False) -> DataFrame:
             # the live window starts at the LAST full generation
             last_full = max(
                 (i for i, s in enumerate(hist)
-                 if not str(s.get("stage", "")).startswith("refresh:")),
+                 if _kind(str(s.get("stage", ""))) == "full"),
                 default=-1,
             )
             expired_locs = set()
@@ -88,7 +92,7 @@ def history(spark, out_dir: str, with_sizes: bool = False) -> DataFrame:
                 stage = str(s.get("stage", ""))
                 kind = _kind(stage)
                 loc = s.get("data_location", "")
-                if kind == "vacuum":
+                if kind in ("vacuum", "meta"):
                     status = "applied"
                 elif loc in expired_locs:
                     status = "expired"
@@ -97,7 +101,8 @@ def history(spark, out_dir: str, with_sizes: bool = False) -> DataFrame:
                 else:
                     status = "superseded"
                 nbytes = None
-                if with_sizes and kind != "vacuum" and status != "expired":
+                if with_sizes and kind not in ("vacuum", "meta") \
+                        and status != "expired":
                     p = _strip_scheme(loc)
                     nbytes = _dir_bytes(p) if os.path.isdir(p) else None
                 rows.append((

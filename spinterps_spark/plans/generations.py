@@ -11,6 +11,14 @@ Three kinds of commit now appear in a tier table's snapshot log
   incremental continuous-aggregate path. A delta holds the COMPLETE new
   rows for the conversations a turn-delta touched (and only those), plus a
   pointer to the affected-conv list it was computed for.
+- EVOLVE deltas (stage ``evolve:<tier>``, plans/evolve.py, r7) — ADDITIVE
+  deltas: the backfilled chunks of a newly added metric for EVERY
+  conversation. They are superseded per conv_id by LATER refresh deltas
+  (which re-encode all metrics at once) but supersede nothing themselves —
+  the new metric's rows coexist with the base's existing metrics.
+- META rows (stage ``meta:*``) — settings-only markers (e.g. the evolved
+  fill_metrics set stamped on the rollup log); like vacuum rows they are
+  neither base nor delta.
 
 The current view of a tier is therefore Iceberg-style merge-on-read with
 conv_id-level equality deletes: base rows for conversations no delta
@@ -65,11 +73,12 @@ def generation_plan(fmt, tier: str, default_base: str, as_of: str | None = None)
         if s.get("tier") != tier:
             continue
         stage = str(s.get("stage", ""))
-        if stage.startswith("vacuum:"):
-            # metadata-only expiry marker: neither base nor delta — but a
-            # valid as_of anchor (state == the preceding data commit)
+        if stage.startswith("vacuum:") or stage.startswith("meta:"):
+            # metadata-only rows (expiry markers, evolved-settings stamps):
+            # neither base nor delta — but valid as_of anchors (state ==
+            # the preceding data commit)
             pass
-        elif stage.startswith("refresh:"):
+        elif stage.startswith("refresh:") or stage.startswith("evolve:"):
             deltas.append(s)
         else:
             # a full rewrite was computed FROM the merged view, so it
@@ -146,20 +155,48 @@ def read_current(spark, fmt, tier: str, default_base: str,
     if not deltas:
         return base_df
     # walk the delta chain newest-first, accumulating the conv set that
-    # supersedes everything older
-    out: DataFrame | None = None
+    # supersedes everything older. Evolve legs are ADDITIVE: later refresh
+    # deltas supersede their convs (those deltas re-encoded every metric,
+    # including the evolved one), but they supersede nothing themselves.
+    legs: list[DataFrame] = []
     later: DataFrame | None = None
+    primary = None
     for s in reversed(deltas):
         leg = spark.read.parquet(os.path.join(s["data_location"], "wave=*"))
-        convs = spark.read.parquet(s["convs_location"]).select("conv_id")
         if later is not None:
             leg = leg.join(F.broadcast(later), "conv_id", "left_anti")
-        out = leg if out is None else out.unionByName(leg)
+        legs.append(leg)
+        if str(s.get("stage", "")).startswith("evolve:"):
+            if s.get("primary_metric"):
+                primary = primary or s["primary_metric"]
+            continue
+        convs = spark.read.parquet(s["convs_location"]).select("conv_id")
         later = convs if later is None else later.unionByName(convs).distinct()
     if base_df is not None:
-        out = out.unionByName(
+        legs.append(
             base_df.join(F.broadcast(later), "conv_id", "left_anti")
+            if later is not None else base_df
         )
+    # an evolve on a previously single-metric store makes the view mixed:
+    # pad metric-less legs with the store's primary metric name (stamped
+    # on the evolve commit) so the union is schema-stable by name
+    if any("metric" in leg.columns for leg in legs) and not all(
+        "metric" in leg.columns for leg in legs
+    ):
+        if primary is None:
+            raise ValueError(
+                f"tier={tier}: mixed metric/metric-less generations with no "
+                "primary_metric stamped on any evolve commit — store "
+                "corruption?"
+            )
+        legs = [
+            leg if "metric" in leg.columns
+            else leg.withColumn("metric", F.lit(primary))
+            for leg in legs
+        ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
     return out
 
 
@@ -202,7 +239,7 @@ def tier_chunk_size_bound(spark, out_dir: str, tier: str) -> int | None:
         if s.get("tier") != tier:
             continue
         stage = str(s.get("stage", ""))
-        if stage.startswith("vacuum:"):
+        if stage.startswith("vacuum:") or stage.startswith("meta:"):
             continue
         raw = s.get("chunk_size_max")
         try:
@@ -211,7 +248,7 @@ def tier_chunk_size_bound(spark, out_dir: str, tier: str) -> int | None:
             v = None
         if v is not None and v <= 0:
             v = None  # stamped over an empty source: no information
-        if stage.startswith("refresh:"):
+        if stage.startswith("refresh:") or stage.startswith("evolve:"):
             # delta over the existing chain: bound must cover both sides
             if have_base and bound is not None:
                 bound = max(bound, v) if v is not None else None

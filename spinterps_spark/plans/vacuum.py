@@ -160,13 +160,22 @@ def run_flatten_pass(
             "wall_sec": time.time() - t0}
 
 
+_DELTA_PREFIXES = ("refresh:", "evolve:")
+
+
+def _is_delta(s: dict) -> bool:
+    return str(s.get("stage", "")).startswith(_DELTA_PREFIXES)
+
+
 def _tier_history(snaps: list[dict], tier: str) -> list[dict]:
-    """The tier's data-bearing commits in log order (vacuum rows skipped)."""
+    """The tier's data-bearing commits in log order (metadata-only vacuum
+    and meta: settings rows skipped)."""
     out = []
     for s in snaps:
         if s.get("tier") != tier:
             continue
-        if str(s.get("stage", "")).startswith("vacuum:"):
+        stage = str(s.get("stage", ""))
+        if stage.startswith("vacuum:") or stage.startswith("meta:"):
             continue
         out.append(s)
     return out
@@ -182,10 +191,7 @@ def _expirable(history: list[dict], keep_last: int):
     resets the delta list at each full rewrite) and full generations
     before it are superseded — both unreferenced by any retained snapshot.
     """
-    full_pos = [
-        i for i, s in enumerate(history)
-        if not str(s.get("stage", "")).startswith("refresh:")
-    ]
+    full_pos = [i for i, s in enumerate(history) if not _is_delta(s)]
     if len(full_pos) < keep_last:
         # fewer full generations than the retention window: even the
         # oldest deltas are still reachable from the default base

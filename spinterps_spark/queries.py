@@ -20,6 +20,32 @@ from spinterps_spark.operators import rollup as R
 from spinterps_spark.operators import spine as S
 from spinterps_spark.sources import fixtures
 
+# per-invocation scratch dirs of the composite gate queries: unique per
+# call (concurrent invocations never race), registered for removal at
+# interpreter exit — a full 50-query driver run leaves /tmp clean
+# (VERDICT r6 next-step #4). Cleanup must run AFTER the returned
+# DataFrames are materialized (they read these dirs lazily), which is
+# what process exit guarantees; tests call cleanup_gate_tmpdirs directly.
+_GATE_TMP_DIRS: list[str] = []
+
+
+def _gate_tmpdir(prefix: str) -> str:
+    import atexit
+    import tempfile
+
+    if not _GATE_TMP_DIRS:
+        atexit.register(cleanup_gate_tmpdirs)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _GATE_TMP_DIRS.append(d)
+    return d
+
+
+def cleanup_gate_tmpdirs():
+    import shutil
+
+    while _GATE_TMP_DIRS:
+        shutil.rmtree(_GATE_TMP_DIRS.pop(), ignore_errors=True)
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 _SW_SQL = "('" + "','".join(STOPWORDS) + "')"
 
@@ -976,16 +1002,15 @@ def q_corpus_pipeline(spark, sf_dir) -> DataFrame:
     selection + annotations + the redaction cascade independently from the
     raw documents table."""
     import os
-    import tempfile
 
     from spinterps_spark.plans.corpus import run_corpus_pipeline
 
     # per-invocation scratch dir (ADVICE r5): a fixed shared path raced
     # under concurrent invocations on the same sf_dir (pytest-xdist,
     # parallel drivers) — one run rmtree'd the other's in-flight waves.
-    # mkdtemp is unique per call; the result DataFrame reads from it
-    # lazily, so the dir is left for OS tmp cleanup rather than deleted.
-    base = tempfile.mkdtemp(prefix="spinterps_corpus_q_")
+    # _gate_tmpdir is unique per call AND removed at interpreter exit
+    # (the result DataFrame reads it lazily, so removal can't be inline).
+    base = _gate_tmpdir("spinterps_corpus_q_")
     docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
     run_corpus_pipeline(spark, docs.select("doc_id", "text"), base,
                         dedup_mode="exact", n_waves=2,
@@ -1856,8 +1881,6 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
       refresh twin verbatim, so the hash breaks if the fold loses,
       duplicates, or reorders any conv version.
     """
-    import tempfile
-
     from spinterps_spark.compress.gorilla import (
         decode_tier_chunks, encode_tier_chunks, read_chunks_pruned)
     from spinterps_spark.plans.compaction import run_compaction_pass
@@ -1870,7 +1893,7 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
         "conv_id", "bucket_ts",
         (F.col("tok_len_sum") / F.col("turn_cnt")).alias("value_filled"),
     )
-    base = tempfile.mkdtemp(prefix="spinterps_gorilla_q_")
+    base = _gate_tmpdir("spinterps_gorilla_q_")
     path = f"{base}/chunks/tier=1h/wave=0"
     encode_tier_chunks(ser, "1h").write.parquet(path)
 
@@ -1962,6 +1985,21 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     run_flatten_pass(spark, base_f, "1h", table="chunks", run_id="qf3",
                      n_waves=2)
     flattened = decode_tier_chunks(read_tier_chunks(spark, base_f, "1h"))
+    # evolve legs (r7, the plans/evolve.run_evolve_pass driver-gate rows):
+    # the refresh store gains metric k+1 (turn_rate) WITHOUT a rebuild —
+    # an additive delta backfilled from the merged rollup (== the full
+    # rollup after the refresh), trimmed exactly at the committed
+    # retention horizon. The read after evolve is MIXED (metric-less
+    # flattened base + metric-bearing evolve delta), so this leg also
+    # locks the schema-alignment padding: old rows surface as
+    # 'evolve_tok_len_mean' (must equal the flatten leg verbatim) and the
+    # new metric as 'evolve_turn_rate' (s1 verbatim at/after the horizon).
+    from spinterps_spark.plans.evolve import run_evolve_pass
+
+    run_evolve_pass(spark, base_f, tiers=("1h",), fill_method=None,
+                    new_metrics={"turn_rate": "CAST(turn_cnt AS DOUBLE)"},
+                    n_waves=2, run_id="qf4")
+    evolved = decode_tier_chunks(read_tier_chunks(spark, base_f, "1h"))
     return full.select(
         F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
     ).unionAll(pruned.select(
@@ -1979,6 +2017,9 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
         F.lit("travel").alias("leg"), "conv_id", "bucket_ts", "value"
     )).unionAll(flattened.select(
         F.lit("flatten").alias("leg"), "conv_id", "bucket_ts", "value"
+    )).unionAll(evolved.select(
+        F.concat(F.lit("evolve_"), F.col("metric")).alias("leg"),
+        "conv_id", "bucket_ts", "value",
     ))
 
 
@@ -2075,6 +2116,28 @@ SELECT 'flatten' AS leg, conv_id, bucket_ts, value
 FROM fulls, b
 WHERE conv_id IN (SELECT conv_id FROM affected)
   AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
+UNION ALL
+-- evolve (r7) is ADDITIVE: the old metric's rows are untouched — the
+-- padded 'evolve_tok_len_mean' slice must equal the flatten leg verbatim
+SELECT 'evolve_tok_len_mean' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE conv_id NOT IN (SELECT conv_id FROM affected)
+  AND (CAST(epoch(bucket_ts) AS BIGINT) // 432000 + 1) * 432000
+      > mn + (mx - mn) // 2
+UNION ALL
+SELECT 'evolve_tok_len_mean' AS leg, conv_id, bucket_ts, value
+FROM fulls, b
+WHERE conv_id IN (SELECT conv_id FROM affected)
+  AND CAST(epoch(bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
+UNION ALL
+-- the backfilled metric: turn_cnt as double, over the FULL merged rollup
+-- (refresh already folded the held-out turns back in), trimmed EXACTLY at
+-- the committed retention horizon (no chunk-window slack: the backfill
+-- encodes fresh chunks, it does not inherit the base's straddling ones)
+SELECT 'evolve_turn_rate' AS leg, h1p.conv_id, h1p.bucket_ts,
+       CAST(h1p.s1 AS DOUBLE) AS value
+FROM h1p, b
+WHERE CAST(epoch(h1p.bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
 """
 )
 

@@ -225,9 +225,11 @@ def main():
     # ---- sf1 leg (VERDICT r4 next-step #4): the ~20M-turn BASELINE.md
     # input volume through the SAME harness path as the sf0.1 gate, so the
     # scale claim no longer interpolates between two different harnesses.
-    # SPARK_GRAFT_BENCH_SF1_RUNS=0 disables; default one draw (the sf0.1
-    # leg above carries the min/median steal-band evidence at 3 draws).
-    n_sf1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "1"))
+    # SPARK_GRAFT_BENCH_SF1_RUNS=0 disables; default THREE draws (VERDICT
+    # r6 next-step #5: a single sf1 draw made round-over-round comparisons
+    # depend on which steal band it landed in — same min/median protocol
+    # as the sf0.1 leg now).
+    n_sf1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "3"))
     if n_sf1 > 0 and sf_name == "sf0.1":
         sf1_turns = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_TURNS", "19_600_000"))
         t0 = time.time()

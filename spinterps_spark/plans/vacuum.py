@@ -296,6 +296,20 @@ def run_vacuum_pass(
     t0 = time.time()
     out_real = os.path.realpath(out_dir)
 
+    _fmts_probe = {tb: tier_tables(spark, os.path.join(out_dir, tb))
+                   for tb in TABLE_ROOTS}
+    if any(getattr(f, "manages_files", False) for f in _fmts_probe.values()):
+        # Iceberg manages its own data files: delegate to the snapshot-aware
+        # table procedure instead of the posix walk (VERDICT r6 #6 — the
+        # walk would silently mis-measure or no-op on object storage)
+        res = {tb: [r.asDict() if hasattr(r, "asDict") else dict(r)
+                    for r in f.expire_snapshots(retain_last=keep_last)]
+               for tb, f in _fmts_probe.items()
+               if getattr(f, "manages_files", False)}
+        return {"run_id": run_id, "keep_last": keep_last,
+                "mode": "iceberg-expire-snapshots", "tables": res,
+                "bytes_freed": 0, "wall_sec": time.time() - t0}
+
     def managed(loc: str) -> str | None:
         """Deletable path, or None for the pipeline's own layout dirs
         (generation zero: rollup/tier=*, chunks/tier=* rows carry no gen=
@@ -315,8 +329,7 @@ def run_vacuum_pass(
         is_convs = rel.startswith(os.path.join("refresh", "run="))
         return p if (is_gen or is_convs) else None
 
-    fmts = {tb: tier_tables(spark, os.path.join(out_dir, tb))
-            for tb in TABLE_ROOTS}
+    fmts = _fmts_probe
     snaps = {tb: fmts[tb].snapshots() for tb in TABLE_ROOTS}
     all_tiers = sorted({
         s["tier"] for tb in TABLE_ROOTS for s in snaps[tb]
@@ -368,9 +381,10 @@ def run_vacuum_pass(
                 if p is None:
                     skipped.append(loc)
                     continue
-                if os.path.isdir(p):
-                    freed += _dir_bytes(p)
-                    shutil.rmtree(p)
+                # size+delete through the TableFormat seam (the parquet
+                # fallback's posix walk is valid only there; the Iceberg
+                # path never reaches this loop — delegated above)
+                freed += fmt.remove_dir(p)
                 locs.append(loc)
         # data_location: the surviving base — keeps the low-level
         # latest-commit reader (ParquetTierTables.read_tier) coherent

@@ -153,6 +153,51 @@ class IcebergTierTables:
     def read_tier(self, tier: str) -> DataFrame:
         return self.spark.read.table(self.table).where(F.col("tier") == tier)
 
+    # ---- storage maintenance (r7): Iceberg manages its own data files —
+    # the engine's vacuum/compaction delegate to the table procedures
+    # instead of walking a filesystem (VERDICT r6 next-step #6)
+    manages_files = True
+
+    def _catalog_and_ident(self) -> tuple[str, str]:
+        cat, _, ident = self.table.partition(".")
+        return cat, ident
+
+    def expire_snapshots(self, retain_last: int) -> list:
+        """Iceberg `expire_snapshots` table procedure — the vacuum analog.
+        Returns the procedure's result rows (deleted file counts)."""
+        cat, ident = self._catalog_and_ident()
+        return self.spark.sql(
+            f"CALL {cat}.system.expire_snapshots("
+            f"table => '{ident}', retain_last => {int(retain_last)})"
+        ).collect()
+
+    def rewrite_data_files(self, target_file_mb: float,
+                           sort_order: str = "conv_id, chunk_start_ts") -> list:
+        """Iceberg `rewrite_data_files` (sort strategy) — the compaction
+        analog: bin-pack + range clustering on the pruned-read keys."""
+        cat, ident = self._catalog_and_ident()
+        tb = int(target_file_mb * (1 << 20))
+        return self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files(table => '{ident}', "
+            f"strategy => 'sort', sort_order => '{sort_order}', "
+            f"options => map('target-file-size-bytes', '{tb}'))"
+        ).collect()
+
+    def dir_bytes(self, loc: str) -> int:
+        raise RuntimeError(
+            "IcebergTierTables.dir_bytes: Iceberg manages its data files — "
+            "a posix walk against a warehouse path would silently "
+            "mis-measure (or no-op on object storage). Use "
+            "expire_snapshots/rewrite_data_files."
+        )
+
+    def remove_dir(self, loc: str) -> int:
+        raise RuntimeError(
+            "IcebergTierTables.remove_dir: never delete warehouse paths "
+            "directly — use expire_snapshots (snapshot-aware, object-store "
+            "safe)."
+        )
+
 
 class ParquetTierTables:
     """Parquet fallback with the same commit contract. Data files are the
@@ -251,6 +296,37 @@ class ParquetTierTables:
         return any(
             s.get("run_id") == run_id and s.get("stage") == stage
             for s in self.snapshots()
+        )
+
+    # ---- storage maintenance (r7): the parquet fallback's files are the
+    # engine's own local/posix layout, so the walk is valid HERE and only
+    # here (the Iceberg implementation refuses it loudly)
+    manages_files = False
+
+    def dir_bytes(self, loc: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(loc):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def remove_dir(self, loc: str) -> int:
+        """Delete a generation directory, returning the bytes freed.
+        Idempotent: a missing dir frees 0."""
+        import shutil
+
+        if not os.path.isdir(loc):
+            return 0
+        freed = self.dir_bytes(loc)
+        shutil.rmtree(loc)
+        return freed
+
+    def file_bytes(self, paths: list[str]) -> int:
+        return sum(
+            os.path.getsize(p) for p in paths if os.path.exists(p)
         )
 
     def read_tier(self, tier: str, data_location: str | None = None) -> DataFrame:

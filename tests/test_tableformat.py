@@ -329,3 +329,61 @@ def test_legacy_jsonl_store_coexists(tmp_path):
     n = TF.remove_commits(loc, lambda r: r.get("run_id") in ("old2", "new1"))
     assert n == 2
     assert [s["commit_id"] for s in fmt.snapshots()] == ["c-old1"]
+
+
+# ---------------------------------------------------------------------------
+# storage-maintenance seam (r7, VERDICT r6 #6): Iceberg delegates to table
+# procedures; the posix walk is fallback-only and refused loudly
+# ---------------------------------------------------------------------------
+
+def test_iceberg_maintenance_procedures_offline():
+    fake = _FakeSparkSQL([])
+    fmt = TF.IcebergTierTables(fake, "cat.db.tiers")
+    fmt.expire_snapshots(retain_last=2)
+    assert fake.last_sql == (
+        "CALL cat.system.expire_snapshots(table => 'db.tiers', "
+        "retain_last => 2)")
+    fmt.rewrite_data_files(128)
+    assert fake.last_sql == (
+        "CALL cat.system.rewrite_data_files(table => 'db.tiers', "
+        "strategy => 'sort', sort_order => 'conv_id, chunk_start_ts', "
+        "options => map('target-file-size-bytes', '134217728'))")
+    with pytest.raises(RuntimeError, match="expire_snapshots"):
+        fmt.dir_bytes("/warehouse/x")
+    with pytest.raises(RuntimeError, match="expire_snapshots"):
+        fmt.remove_dir("/warehouse/x")
+    assert fmt.manages_files is True
+    assert TF.ParquetTierTables(None, "/tmp/x").manages_files is False
+
+
+def test_vacuum_and_compaction_delegate_when_iceberg(spark, tmp_path,
+                                                     monkeypatch):
+    """run_vacuum_pass / run_compaction_pass never touch the filesystem
+    when the format manages its own files — they call the procedures."""
+    from spinterps_spark.plans import compaction as C
+    from spinterps_spark.plans import vacuum as V
+
+    calls = []
+
+    class _Managed:
+        manages_files = True
+
+        def expire_snapshots(self, retain_last):
+            calls.append(("expire", retain_last))
+            return []
+
+        def rewrite_data_files(self, target_file_mb, **kw):
+            calls.append(("rewrite", target_file_mb))
+            return []
+
+    monkeypatch.setattr(V, "tier_tables", lambda *a, **k: _Managed())
+    m = V.run_vacuum_pass(spark, str(tmp_path / "s"), keep_last=3,
+                          run_id="vx")
+    assert m["mode"] == "iceberg-expire-snapshots"
+    assert ("expire", 3) in calls
+
+    m2 = C.run_compaction_pass(spark, str(tmp_path / "s"), "1m",
+                               target_file_mb=64, run_id="cx",
+                               table_format=_Managed())
+    assert m2["mode"] == "iceberg-rewrite-data-files"
+    assert ("rewrite", 64) in calls

@@ -494,10 +494,15 @@ def test_reader_pinned_to_snapshot_immune_to_publish(spark, stores):
         )
 
     before = pts(as_of=pin)
-    # a writer publishes while the reader holds its pin
-    run_refresh_pass(spark, stores["slices"]["d2"], d, tiers=TIERS,
-                     n_waves=2, run_id="pin2")
+    # a writer publishes while the reader holds its pin; remap conv_ids so
+    # the delta is NEW content regardless of which module tests (r2, r3,
+    # retention, compaction) already ran against this shared store
+    delta = stores["slices"]["d2"].withColumn(
+        "conv_id", F.concat(F.lit("pin-"), F.col("conv_id")))
+    run_refresh_pass(spark, delta, d, tiers=TIERS, n_waves=2, run_id="pin2")
     after = pts(as_of=pin)
     pd.testing.assert_frame_equal(after, before, check_exact=True)
-    # the UNPINNED read picks the new delta up (contents changed)
-    assert len(pts()) != len(before) or not pts().equals(before)
+    # the UNPINNED read picks the new delta up (strictly more convs)
+    unpinned = pts()
+    assert unpinned["conv_id"].str.startswith("pin-").any()
+    assert len(unpinned) > len(before)

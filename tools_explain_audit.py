@@ -328,6 +328,37 @@ def main():
                       "GreaterThanOrEqual(chunk_start_ts",
                       "Scan parquet"]))
 
+    # r7: evolve (plans/evolve.run_evolve_pass) publishes an ADDITIVE
+    # delta — the new metric's chunks beside a metric-less base. The mixed
+    # read must cost exactly one Union plus a literal Project (the padded
+    # primary-metric column): ZERO join nodes (an additive delta with no
+    # newer refresh supersedes nothing, so no anti join), zero
+    # non-broadcast exchanges, pruned-read filters pushed into BOTH scans.
+    evo = chunks19.withColumn("metric", F.lit("turn_rate"))
+    evo.write.parquet(f"{d20}/chunks_evolve/tier=1h/gen=ev1/wave=0")
+    tier_tables(spark, f"{d20}/chunks").commit_tier(
+        "1h", None, f"{d20}/chunks_evolve/tier=1h/gen=ev1",
+        {"run_id": "ev1", "stage": "evolve:1h",
+         "primary_metric": "tok_len_mean",
+         "new_metrics": '["turn_rate"]'},
+    )
+    p22 = plan_of(read_chunks_pruned(
+        spark, current_chunks(spark, d20, "1h"), "1h",
+        t_min=1_700_000_000, t_max=1_760_000_000,
+    ))
+    n_join22 = p22.count("Join")
+    n_shuffle22 = p22.count("Exchange") - p22.count("BroadcastExchange")
+    p22 = (f"(join nodes: {n_join22} — must be 0, an additive evolve delta "
+           f"supersedes nothing; non-broadcast exchanges: {n_shuffle22} — "
+           "must be 0; the metric-less base is schema-aligned by a literal "
+           "Project, visible as 'tok_len_mean AS metric')\n") + p22
+    sections.append(("Evolved-store read (r7: additive new-metric delta "
+                     "beside a metric-less base — one Union, no join, "
+                     "padded primary)", p22,
+                     ["join nodes: 0", "non-broadcast exchanges: 0",
+                      "Union", "tok_len_mean AS metric",
+                      "GreaterThanOrEqual(chunk_start_ts"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

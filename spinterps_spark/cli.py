@@ -376,6 +376,30 @@ def cmd_evolve(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge k tier stores into ONE new store (plans/merge.py — the
+    utils/merg_nc.py analog): single-source conversations are copied as
+    opaque chunk rows (no decode), conversations present in several
+    sources are re-filled/re-encoded from the combined rollup and
+    published as a latest-wins delta. --mode combine re-sums partial
+    aggregates (exact for disjoint turn sets); --mode overwrite keeps the
+    LAST --src's buckets (the reference's sorted-file overwrite)."""
+    from spinterps_spark.plans.merge import run_merge_pass
+
+    spark = _spark("spinterps_spark.merge")
+    coords = spark.read.parquet(args.coords) if args.coords else None
+    vg_dim = spark.read.parquet(args.vg_dim) if args.vg_dim else None
+    metrics = run_merge_pass(
+        spark, args.src, args.out,
+        tiers=tuple(args.tiers.split(",")), mode=args.mode,
+        fill_method=None if args.fill == "none" else args.fill,
+        coords=coords, vg_dim=vg_dim,
+        n_waves=args.waves, run_id=args.resume,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_flatten(args) -> int:
     """Fold a tier's refresh-delta chain into one new full generation
     (plans/vacuum.py): reads drop their per-delta anti joins and collapse
@@ -627,6 +651,25 @@ def main(argv=None) -> int:
     ev.add_argument("--waves", type=int, default=2)
     ev.add_argument("--resume", default=None, help="run_id to resume")
     ev.set_defaults(fn=cmd_evolve)
+
+    mg = sub.add_parser(
+        "merge",
+        help="merge k stores into one NEW store (opaque copy of "
+             "single-source convs + re-encode of the overlap; resumable)")
+    mg.add_argument("--src", action="append", required=True,
+                    help="source store out_dir; repeat >= 2 times (order "
+                         "matters for --mode overwrite: last wins)")
+    mg.add_argument("--out", required=True, help="NEW store out_dir")
+    mg.add_argument("--mode", default="combine",
+                    choices=["combine", "overwrite"])
+    mg.add_argument("--tiers", default="1m,1h")
+    mg.add_argument("--fill", default="IDW",
+                    help="the sources' fill method, or 'none'")
+    mg.add_argument("--coords", default=None)
+    mg.add_argument("--vg-dim", dest="vg_dim", default=None)
+    mg.add_argument("--waves", type=int, default=2)
+    mg.add_argument("--resume", default=None, help="run_id to resume")
+    mg.set_defaults(fn=cmd_merge)
 
     fl = sub.add_parser(
         "flatten",

@@ -78,7 +78,11 @@ def generation_plan(fmt, tier: str, default_base: str, as_of: str | None = None)
             # neither base nor delta — but valid as_of anchors (state ==
             # the preceding data commit)
             pass
-        elif stage.startswith("refresh:") or stage.startswith("evolve:"):
+        elif (stage.startswith("refresh:") or stage.startswith("evolve:")
+              or stage.startswith("merge_delta:")):
+            # merge_delta (plans/merge.py): the overlap conversations of a
+            # cross-store merge, re-encoded from the merged rollup —
+            # refresh-shaped (latest-wins per conv_id over the copied base)
             deltas.append(s)
         else:
             # a full rewrite was computed FROM the merged view, so it
@@ -248,7 +252,8 @@ def tier_chunk_size_bound(spark, out_dir: str, tier: str) -> int | None:
             v = None
         if v is not None and v <= 0:
             v = None  # stamped over an empty source: no information
-        if stage.startswith("refresh:") or stage.startswith("evolve:"):
+        if (stage.startswith("refresh:") or stage.startswith("evolve:")
+                or stage.startswith("merge_delta:")):
             # delta over the existing chain: bound must cover both sides
             if have_base and bound is not None:
                 bound = max(bound, v) if v is not None else None
@@ -268,4 +273,12 @@ def tier_horizons(spark, out_dir: str) -> dict[str, int]:
         t = s.get("tier")
         if t and s.get("stage") == f"retention:{t}":
             out[t] = int(s["horizon_ts"])  # snapshots are append-ordered
+        elif t and s.get("stage") == f"merge:{t}" and int(
+            s.get("horizon_ts", 0) or 0
+        ) > 0:
+            # a cross-store merge propagates its (equality-validated)
+            # sources' horizon to the merged store (plans/merge.py) — the
+            # copied chunks already respect it, and a later retention on
+            # the merged store overrides it in log order
+            out[t] = int(s["horizon_ts"])
     return out

@@ -1880,6 +1880,16 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
       generation, decoded from the published result; the twin is the
       refresh twin verbatim, so the hash breaks if the fold loses,
       duplicates, or reorders any conv version.
+    - legs 'evolve_*' (r7): metric k+1 added without a rebuild
+      (plans/evolve.py) — the padded old metric must equal the flatten
+      leg verbatim, the backfilled metric is recomputed from the full
+      merged rollup trimmed exactly at the horizon.
+    - leg 'merge' (r7, the plans/merge.run_merge_pass driver-gate row —
+      utils/merg_nc.py analog): the turns sharded into two stores that
+      overlap on the md5>='c' conversations, then cross-store merged
+      (opaque copy of single-source convs + partial-agg re-sum and
+      re-encode of the overlap). combine mode over disjoint turn shards
+      is bit-identical to a full rebuild, so the twin is `fulls`.
     """
     from spinterps_spark.compress.gorilla import (
         decode_tier_chunks, encode_tier_chunks, read_chunks_pruned)
@@ -2000,6 +2010,44 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
                     new_metrics={"turn_rate": "CAST(turn_cnt AS DOUBLE)"},
                     n_waves=2, run_id="qf4")
     evolved = decode_tier_chunks(read_tier_chunks(spark, base_f, "1h"))
+    # merge leg (r7, the plans/merge.run_merge_pass driver-gate row — the
+    # utils/merg_nc.py analog): the turns are sharded into TWO stores
+    # (md5 8..b convs only in B; >= 'c' convs split at the midpoint so
+    # they overlap both), then cross-store merged: single-source convs
+    # are copied as OPAQUE chunk rows, overlap convs re-encoded from the
+    # re-summed partial-aggregate rollup. combine mode over disjoint turn
+    # sets is bit-identical to a full rebuild, so the twin is `fulls`
+    # verbatim — the hash breaks if the copy loses rows, the re-sum
+    # double-counts, or the latest-wins read mixes conv versions.
+    from spinterps_spark.plans.merge import run_merge_pass
+
+    base_m = f"{base}/merge_store"
+    hh = F.substring(F.md5("conv_id"), 1, 1)
+    pm = hh.between("8", "b") | (
+        (hh >= "c")
+        & (F.unix_timestamp(R.bucket_ts_col(F.col("ts"), "1h")) >= F.lit(mid))
+    )
+    for name, src in (("sa", t_all.where(~pm)), ("sb", t_all.where(pm))):
+        d = f"{base_m}/{name}"
+        roll = R.base_rollup(src, "1h")
+        roll.write.parquet(f"{d}/rollup/tier=1h/wave=0")
+        tier_tables(spark, f"{d}/rollup").commit_tier(
+            "1h", None, f"{d}/rollup/tier=1h",
+            {"run_id": "qm0", "stage": "rollup:1h"},
+        )
+        encode_tier_chunks(
+            roll.select(
+                "conv_id", "bucket_ts",
+                (F.col("tok_len_sum") / F.col("turn_cnt"))
+                .alias("value_filled"),
+            ),
+            "1h",
+        ).write.parquet(f"{d}/chunks/tier=1h/wave=0")
+    run_merge_pass(spark, [f"{base_m}/sa", f"{base_m}/sb"],
+                   f"{base_m}/out", tiers=("1h",), fill_method=None,
+                   n_waves=2, run_id="qm")
+    merged = decode_tier_chunks(
+        read_tier_chunks(spark, f"{base_m}/out", "1h"))
     return full.select(
         F.lit("full").alias("leg"), "conv_id", "bucket_ts", "value"
     ).unionAll(pruned.select(
@@ -2020,6 +2068,8 @@ def q_gorilla_roundtrip(spark, sf_dir) -> DataFrame:
     )).unionAll(evolved.select(
         F.concat(F.lit("evolve_"), F.col("metric")).alias("leg"),
         "conv_id", "bucket_ts", "value",
+    )).unionAll(merged.select(
+        F.lit("merge").alias("leg"), "conv_id", "bucket_ts", "value"
     ))
 
 
@@ -2138,6 +2188,10 @@ SELECT 'evolve_turn_rate' AS leg, h1p.conv_id, h1p.bucket_ts,
        CAST(h1p.s1 AS DOUBLE) AS value
 FROM h1p, b
 WHERE CAST(epoch(h1p.bucket_ts) AS BIGINT) >= mn + (mx - mn) // 2
+UNION ALL
+-- cross-store merge (r7): sharded stores folded back together — combine
+-- mode over disjoint turn shards is bit-identical to the full rebuild
+SELECT 'merge' AS leg, conv_id, bucket_ts, value FROM fulls
 """
 )
 

@@ -359,6 +359,46 @@ def main():
                       "Union", "tok_len_mean AS metric",
                       "GreaterThanOrEqual(chunk_start_ts"]))
 
+    # r7: cross-store merge (plans/merge.run_merge_pass) publishes a
+    # copied base generation (merge:<tier>) plus a refresh-shaped overlap
+    # delta (merge_delta:<tier>). The merged-store read must stay the
+    # broadcast-anti-join shape: base scan minus the (tiny, broadcast)
+    # overlap-conv list, unioned with the re-encoded delta scan; pruned
+    # filters pushed into BOTH parquet scans; zero non-broadcast
+    # exchanges. This is what makes merge O(overlap): the copied base is
+    # opaque bytes, only the delta was re-encoded.
+    d23 = tempfile.mkdtemp(prefix="explain_merge_")
+    copy23 = chunks19.where(F.substring(F.md5("conv_id"), 1, 1) < "c")
+    copy23.write.parquet(f"{d23}/chunks_merge/tier=1h/gen=mg/wave=0")
+    ov23 = chunks19.where(F.substring(F.md5("conv_id"), 1, 1) >= "c")
+    ov23.write.parquet(f"{d23}/chunks_merge_delta/tier=1h/gen=mg/wave=0")
+    ov23.select("conv_id").distinct().write.parquet(
+        f"{d23}/merge/run=mg/convs")
+    fmt23 = tier_tables(spark, f"{d23}/chunks")
+    fmt23.commit_tier(
+        "1h", None, f"{d23}/chunks_merge/tier=1h/gen=mg",
+        {"run_id": "mg", "stage": "merge:1h"},
+    )
+    fmt23.commit_tier(
+        "1h", None, f"{d23}/chunks_merge_delta/tier=1h/gen=mg",
+        {"run_id": "mg", "stage": "merge_delta:1h",
+         "convs_location": f"{d23}/merge/run=mg/convs"},
+    )
+    p23 = plan_of(read_chunks_pruned(
+        spark, current_chunks(spark, d23, "1h"), "1h",
+        t_min=1_700_000_000, t_max=1_760_000_000,
+    ))
+    n_shuffle23 = p23.count("Exchange") - p23.count("BroadcastExchange")
+    p23 = (f"(non-broadcast exchanges: {n_shuffle23} — must be 0; the "
+           "copied base is anti-joined against the broadcast overlap-conv "
+           "list, the re-encoded delta rides a Union — merge cost is "
+           "O(overlap), the base is opaque bytes)\n") + p23
+    sections.append(("Merged-store read (r7: cross-store merge — copied "
+                     "base + overlap delta, broadcast anti join)", p23,
+                     ["LeftAnti", "BroadcastExchange", "Union",
+                      "GreaterThanOrEqual(chunk_start_ts",
+                      "non-broadcast exchanges: 0"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

@@ -361,6 +361,8 @@ def cmd_evolve(args) -> int:
     existing = {}
     for spec in args.existing or []:
         name, _, expr = spec.partition("=")
+        if not expr:
+            raise SystemExit(f"--existing needs NAME=SQL_EXPR, got {spec!r}")
         existing[name] = expr
     coords = spark.read.parquet(args.coords) if args.coords else None
     vg_dim = spark.read.parquet(args.vg_dim) if args.vg_dim else None

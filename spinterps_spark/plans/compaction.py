@@ -51,7 +51,8 @@ import os
 import time
 
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
-from spinterps_spark.sources.tableformat import tier_tables, unchanged_tier_validator
+from spinterps_spark.sources.tableformat import (
+    pinned_tier_validator, release_pin, tier_tables)
 
 
 def _local_path(uri: str) -> str:
@@ -115,9 +116,18 @@ def run_compaction_pass(
         # Iceberg manages its own data files: delegate the bin-pack +
         # range clustering to rewrite_data_files (sort strategy on the
         # pruned-read keys) instead of the copy-on-write parquet rewrite
-        # (VERDICT r6 #6)
+        # (VERDICT r6 #6). Scoped to THIS tier (code-review r7 #6 — an
+        # unscoped call would rewrite every tier on each scheduled run),
+        # and skipped when this (run_id, stage) already ran; a repeated
+        # rewrite is content-safe (Iceberg's procedure is idempotent in
+        # effect) but wasted write amplification.
+        if getattr(fmt, "committed", None) and fmt.committed(run_id, stage):
+            return {"run_id": run_id, "tier": tier, "commit": "skipped",
+                    "mode": "iceberg-rewrite-data-files",
+                    "wall_sec": time.time() - t0}
         res = [r.asDict() if hasattr(r, "asDict") else dict(r)
-               for r in fmt.rewrite_data_files(target_file_mb)]
+               for r in fmt.rewrite_data_files(
+                   target_file_mb, where=f"tier = '{tier}'")]
         return {"run_id": run_id, "tier": tier,
                 "mode": "iceberg-rewrite-data-files", "result": res,
                 "wall_sec": time.time() - t0}
@@ -128,7 +138,8 @@ def run_compaction_pass(
 
     # pin the tier history the rewrite folds; revalidated under the commit's
     # atomic claim so a concurrent refresh delta can't be silently dropped
-    validate = unchanged_tier_validator(fmt, tier)
+    pin = os.path.join(out_dir, "_pins", f"compaction-{tier}-{run_id}.json")
+    validate = pinned_tier_validator(pin, [(fmt, tier)])
     _, src, files = _tier_source(spark, out_dir, tier)
     # sizes through the seam: the posix getsize is the parquet fallback's
     # own valid implementation (Iceberg never reaches here)
@@ -165,6 +176,7 @@ def run_compaction_pass(
     }
     commit_id = fmt.commit_tier(tier, compacted, gen_loc, props,
                                 validate=validate)
+    release_pin(pin)
     return {
         "run_id": run_id, "tier": tier, "commit": commit_id,
         "files_before": len(files), "files_after": len(files_after),

@@ -41,6 +41,10 @@ HISTORY_SCHEMA = (
 def _kind(stage: str) -> str:
     if stage.startswith("refresh:"):
         return "delta"
+    if stage.startswith("merge_delta:"):
+        return "delta"  # cross-store merge's overlap re-encode: a delta —
+        # classifying it 'full' would report the live copied base as
+        # superseded (code-review r7 #5)
     if stage.startswith("evolve:"):
         return "evolve"  # additive delta: backfill of a new metric
     if stage.startswith("vacuum:"):

@@ -62,7 +62,7 @@ from spinterps_spark.compress.gorilla import DEFAULT_CHUNK
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
 from spinterps_spark.plans.generations import current_rollup, tier_horizons
 from spinterps_spark.sources.tableformat import (
-    tier_tables, unchanged_tier_validator)
+    pinned_tier_validator, release_pin, tier_tables)
 
 
 def run_evolve_pass(
@@ -164,13 +164,11 @@ def run_evolve_pass(
             continue
         # pin BOTH logs' tier history before reading: publishing after a
         # concurrent refresh would leave the new metric reflecting stale
-        # rollup state for the refreshed convs
-        cval = unchanged_tier_validator(cfmt, tier)
-        rval = unchanged_tier_validator(rfmt, tier)
-
-        def validate(snaps, _rval=rval, _cval=cval):
-            _cval(snaps)
-            _rval(rfmt.snapshots())
+        # rollup state for the refreshed convs. The baseline is PERSISTED
+        # so a crash + concurrent commit + same-run_id resume conflicts
+        # instead of re-capturing (code-review r7 #2)
+        pin = os.path.join(out_dir, "_pins", f"evolve-{tier}-{run_id}.json")
+        validate = pinned_tier_validator(pin, [(cfmt, tier), (rfmt, tier)])
 
         rolled = current_rollup(spark, out_dir, tier)
         if rolled is None:
@@ -227,8 +225,13 @@ def run_evolve_pass(
             "primary_metric": fill_metric,
             "n_chunks": n_chunks,
             "horizon_ts": int(hz) if hz is not None else 0,
+            # the no-fill branch encodes with DEFAULT_CHUNK regardless of
+            # fill_knobs — stamping the knob there would under-size the
+            # metadata pruning span and silently drop rows from routed
+            # reads (code-review r7 #3; same guard as refresh/merge)
             "chunk_size_max": int(
-                fill_knobs.get("gorilla_chunk", DEFAULT_CHUNK)),
+                fill_knobs.get("gorilla_chunk", DEFAULT_CHUNK)
+                if fill_method is not None else DEFAULT_CHUNK),
         }, validate=validate)
         # the settings stamp refresh validates against (rollup log)
         rfmt.commit_tier(tier, None,
@@ -236,6 +239,7 @@ def run_evolve_pass(
                              "run_id": run_id, "stage": f"meta:evolve:{tier}",
                              "fill_metrics": evolved,
                          })
+        release_pin(pin)
         metrics["tiers"][tier] = {
             "commit": "published", "n_chunks": n_chunks,
             "wall_sec": time.time() - t_tier,

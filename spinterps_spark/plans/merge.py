@@ -63,7 +63,7 @@ from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_wave
 from spinterps_spark.plans.generations import (
     current_chunks, current_rollup, tier_chunk_size_bound, tier_horizons)
 from spinterps_spark.sources.tableformat import (
-    tier_tables, unchanged_tier_validator)
+    pinned_tier_validator, release_pin, tier_tables)
 
 MODES = ("combine", "overwrite")
 
@@ -163,16 +163,13 @@ def run_merge_pass(
                 "store; use refresh to add data to an existing one"
             )
 
-    # pin every source's tier history NOW; revalidated under each publish
-    src_pins = [unchanged_tier_validator(f, t)
-                for t in tiers for f in (*src_rfmts, *src_cfmts)]
-
-    def validate(_own_snapshots):
-        for pin, fmt in zip(
-            src_pins,
-            [f for _t in tiers for f in (*src_rfmts, *src_cfmts)],
-        ):
-            pin(fmt.snapshots())
+    # pin every source's tier history NOW; revalidated under each publish.
+    # The baseline is PERSISTED under the out store so a crash + concurrent
+    # source commit + same-run_id resume conflicts instead of re-capturing
+    # the post-commit state (code-review r7 #2)
+    pin = os.path.join(out_dir, "_pins", f"merge-{run_id}.json")
+    validate = pinned_tier_validator(
+        pin, [(f, t) for t in tiers for f in (*src_rfmts, *src_cfmts)])
 
     src_rollups = []
     for d in src_dirs:
@@ -352,5 +349,6 @@ def run_merge_pass(
         metrics["tiers"][tier] = tier_metrics
         lower_merged = merged
 
+    release_pin(pin)
     metrics["wall_sec"] = time.time() - t0
     return metrics

@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from spinterps_spark import TIER_SECONDS
 from spinterps_spark.plans.checkpoint import CheckpointLog, new_run_id, run_waved_pass
-from spinterps_spark.sources.tableformat import tier_tables, unchanged_tier_validator
+from spinterps_spark.sources.tableformat import (
+    pinned_tier_validator, release_pin, tier_tables)
 
 
 def _window_end(tier: str):
@@ -100,7 +101,11 @@ def run_retention_pass(
     # read is based on; the commit below revalidates it under the atomic
     # claim so a concurrently-published delta can never be silently folded
     # away (optimistic concurrency, sources/tableformat.py).
-    validate = unchanged_tier_validator(fmt, tier)
+    # pinned (persisted) baseline: a crash + concurrent delta + same-
+    # run_id resume must CONFLICT, not re-capture and silently fold the
+    # delta away (code-review r7 #2)
+    pin = os.path.join(out_dir, "_pins", f"retention-{tier}-{run_id}.json")
+    validate = pinned_tier_validator(pin, [(fmt, tier)])
     src = read_tier_chunks(spark, out_dir, tier)
     if "chunk_size" not in src.columns:
         raise ValueError(
@@ -142,6 +147,7 @@ def run_retention_pass(
         },
         validate=validate,
     )
+    release_pin(pin)
     return {
         "run_id": run_id, "tier": tier, "commit": commit_id,
         "chunks_total": int(stats.c_all or 0),

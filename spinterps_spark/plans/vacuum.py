@@ -160,7 +160,10 @@ def run_flatten_pass(
             "wall_sec": time.time() - t0}
 
 
-_DELTA_PREFIXES = ("refresh:", "evolve:")
+# every delta-shaped stage generation_plan recognizes — keep this in sync
+# with plans/generations.py: a delta misread as a FULL generation would
+# make _expirable expire the live base it rides on (code-review r7 #1)
+_DELTA_PREFIXES = ("refresh:", "evolve:", "merge_delta:")
 
 
 def _is_delta(s: dict) -> bool:
@@ -221,7 +224,12 @@ _ORPHAN_PATTERNS = (
     "chunks_compacted/tier=*/gen=*",
     "rollup_flat/tier=*/gen=*",
     "chunks_flat/tier=*/gen=*",
+    "chunks_evolve/tier=*/gen=*",
+    "rollup_merge/tier=*/gen=*",
+    "chunks_merge/tier=*/gen=*",
+    "chunks_merge_delta/tier=*/gen=*",
     "refresh/run=*/convs",
+    "merge/run=*/convs",
 )
 
 
@@ -326,7 +334,9 @@ def run_vacuum_pass(
         # itself contains 'gen=' can never make the layout dirs deletable
         rel = os.path.relpath(p, out_real)
         is_gen = "gen=" in rel
-        is_convs = rel.startswith(os.path.join("refresh", "run="))
+        is_convs = rel.startswith(
+            (os.path.join("refresh", "run="), os.path.join("merge", "run="))
+        )
         return p if (is_gen or is_convs) else None
 
     fmts = _fmts_probe
@@ -389,7 +399,8 @@ def run_vacuum_pass(
         # data_location: the surviving base — keeps the low-level
         # latest-commit reader (ParquetTierTables.read_tier) coherent
         kept_full = [s for s in _kept
-                     if not str(s.get("stage", "")).startswith("refresh:")]
+                     if not str(s.get("stage", "")).startswith(
+                         _DELTA_PREFIXES)]
         fmt.commit_tier(
             tier, None, kept_full[-1]["data_location"] if kept_full
             else os.path.join(out_dir, f"{tb}/tier={tier}"),

@@ -84,6 +84,67 @@ def unchanged_tier_validator(fmt, tier: str):
     return validate
 
 
+def pinned_tier_validator(pin_path: str, pairs: list) -> "callable":
+    """Crash-resume-safe unchanged_tier_validator over (fmt, tier) pairs.
+
+    The captured baseline history is PERSISTED at `pin_path` on first
+    capture and reloaded on resume with the same run_id. Without the pin,
+    a pass that crashed after completing some waves would RE-capture at
+    resume time — silently absorbing any commit that landed in the crash
+    window into its baseline while reusing done waves computed from the
+    pre-commit view, then publishing a mixed-state full rewrite that
+    supersedes the concurrent delta: exactly the lost update the
+    optimistic protocol exists to prevent (code-review r7 #2).
+    run_flatten_pass pins the same way via its _folded.json manifest.
+
+    The returned validate ignores the snapshots argument commit_tier
+    passes and re-reads every fmt, since the pairs may span several
+    stores (the cross-store merge pins its SOURCES). Call sites should
+    remove `pin_path` after their final successful commit (release_pin);
+    a leftover pin is harmless — committed (run_id, stage) short-circuits
+    before any validator runs."""
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            base = json.load(f)
+    else:
+        base = [tier_data_commit_ids(fmt.snapshots(), tier)
+                for fmt, tier in pairs]
+        os.makedirs(os.path.dirname(pin_path), exist_ok=True)
+        tmp = pin_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(base, f)
+        os.replace(tmp, pin_path)
+    if len(base) != len(pairs):
+        raise RuntimeError(
+            f"pin {pin_path} records {len(base)} tier histories but this "
+            f"resume validates {len(pairs)} — the pass was resumed with "
+            "different sources/tiers; use a fresh run_id"
+        )
+
+    def validate(_snapshots=None):
+        for (fmt, tier), seen in zip(pairs, base):
+            now = tier_data_commit_ids(fmt.snapshots(), tier)
+            if now != seen:
+                raise CommitConflictError(
+                    f"tier={tier}: the snapshot log gained "
+                    f"{len(now) - len(seen)} commit(s) since this pass "
+                    "first read its source (possibly across a crash/"
+                    "resume) — publishing would silently drop them. "
+                    "Re-run the pass with a fresh run_id against the "
+                    "current view."
+                )
+
+    return validate
+
+
+def release_pin(pin_path: str) -> None:
+    """Remove a pinned-history file after the pass's final commit."""
+    try:
+        os.remove(pin_path)
+    except FileNotFoundError:
+        pass
+
+
 def iceberg_available(spark) -> bool:
     """True iff the Iceberg Spark runtime is loadable in this JVM."""
     try:
@@ -172,15 +233,24 @@ class IcebergTierTables:
         ).collect()
 
     def rewrite_data_files(self, target_file_mb: float,
-                           sort_order: str = "conv_id, chunk_start_ts") -> list:
+                           sort_order: str = "conv_id, chunk_start_ts",
+                           where: str | None = None) -> list:
         """Iceberg `rewrite_data_files` (sort strategy) — the compaction
-        analog: bin-pack + range clustering on the pruned-read keys."""
+        analog: bin-pack + range clustering on the pruned-read keys.
+        `where` scopes the rewrite (e.g. "tier = '1m'"): without it a
+        per-tier maintenance schedule would rewrite EVERY tier's files on
+        each call (code-review r7 #6)."""
         cat, ident = self._catalog_and_ident()
         tb = int(target_file_mb * (1 << 20))
+        scope = (
+            ", where => '{}'".format(where.replace("'", "''"))
+            if where else ""
+        )
         return self.spark.sql(
             f"CALL {cat}.system.rewrite_data_files(table => '{ident}', "
             f"strategy => 'sort', sort_order => '{sort_order}', "
-            f"options => map('target-file-size-bytes', '{tb}'))"
+            f"options => map('target-file-size-bytes', '{tb}')"
+            f"{scope})"
         ).collect()
 
     def dir_bytes(self, loc: str) -> int:

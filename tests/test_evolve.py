@@ -215,8 +215,18 @@ def test_evolve_no_fill_store(spark, tmp_path):
         TIER,
     ).write.parquet(os.path.join(d, f"chunks/tier={TIER}/wave=0"))
     run_retention_pass(spark, d, TIER, int(mid), run_id="ret", n_waves=2)
+    # a gorilla_chunk knob is IGNORED by the no-fill encode (DEFAULT_CHUNK)
+    # — the stamp must record what was encoded, not the knob, or the
+    # metadata pruning span silently drops rows (code-review r7 #3)
     run_evolve_pass(spark, d, new_metrics=M2, tiers=(TIER,),
-                    fill_method=None, n_waves=2, run_id="ev")
+                    fill_method=None, n_waves=2, run_id="ev",
+                    fill_knobs={"gorilla_chunk": 16})
+    from spinterps_spark.compress.gorilla import DEFAULT_CHUNK
+
+    ev_row = next(s for s in tier_tables(
+        spark, os.path.join(d, "chunks")).snapshots()
+        if s.get("stage") == f"evolve:{TIER}")
+    assert int(ev_row["chunk_size_max"]) == DEFAULT_CHUNK
     got = _pts(spark, d, where="metric = 'turn_rate'")
     want = (
         current_rollup(spark, d, TIER).where("valid")

@@ -268,3 +268,122 @@ def test_source_published_mid_merge_conflicts(spark, split, tmp_path,
         run_merge_pass(spark, [da, db], dm, tiers=TIERS, n_waves=2,
                        run_id="mg")
     assert fired["done"]
+
+
+def test_vacuum_on_merged_store_keeps_live_base(spark, split, tmp_path):
+    """Code-review r7 #1 (confirmed data loss pre-fix): vacuum classified
+    merge_delta: as a FULL generation, so keep_last=1 expired the live
+    copied base under it — every later read raised expired-by-vacuum.
+    Post-fix the base survives, reads are unchanged, and history labels
+    the base live / the overlap delta as a delta."""
+    from spinterps_spark.plans.describe import history
+    from spinterps_spark.plans.vacuum import run_vacuum_pass
+
+    da, db, dm = (str(tmp_path / x) for x in ("a", "b", "m"))
+    _build(spark, split["a"], da)
+    _build(spark, split["b"], db)
+    m = run_merge_pass(spark, [da, db], dm, tiers=TIERS, n_waves=2,
+                       run_id="mg")
+    assert m["n_overlap_convs"] > 0
+    before = {t: _pts(spark, dm, t) for t in TIERS}
+    run_vacuum_pass(spark, dm, keep_last=1, run_id="vx")
+    for t in TIERS:
+        pd.testing.assert_frame_equal(_pts(spark, dm, t), before[t],
+                                      check_exact=True)
+    h = history(spark, dm).toPandas()
+    base = h[(h.table == "chunks") & (h.stage == "merge:1m")]
+    delta = h[(h.table == "chunks") & (h.stage == "merge_delta:1m")]
+    assert list(base.status) == ["live"] and list(base.kind) == ["full"]
+    assert list(delta.status) == ["live"] and list(delta.kind) == ["delta"]
+
+
+def test_orphan_sweep_collects_crashed_merge_dirs(spark, split, tmp_path,
+                                                  monkeypatch):
+    """Code-review r7 #4: a merge that crashes before any commit leaves
+    rollup_merge/chunks_merge/.../merge/run=*/convs dirs referenced by no
+    snapshot row — the opt-in orphan sweep must reclaim them (and must
+    NOT touch them while a committed merge references them)."""
+    from spinterps_spark.plans import merge as M
+    from spinterps_spark.plans.vacuum import run_vacuum_pass
+
+    da, db, dm = (str(tmp_path / x) for x in ("a", "b", "m"))
+    _build(spark, split["a"], da)
+    _build(spark, split["b"], db)
+    real = M.run_waved_pass
+
+    def crash(spark_, src, transform, out_dir, ckpt, run_id, stage, **kw):
+        out = real(spark_, src, transform, out_dir, ckpt, run_id, stage,
+                   **kw)
+        if stage.startswith("merge_rollup:"):
+            # after the waves, BEFORE any snapshot commit: everything the
+            # pass wrote so far is referenced by no row
+            raise RuntimeError("simulated crash before the rollup commit")
+        return out
+
+    monkeypatch.setattr(M, "run_waved_pass", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_merge_pass(spark, [da, db], dm, tiers=TIERS, n_waves=2,
+                       run_id="mg")
+    monkeypatch.setattr(M, "run_waved_pass", real)
+    leftovers = [p for p in (
+        "rollup_merge/tier=1m/gen=mg", "merge/run=mg/convs",
+    ) if os.path.isdir(os.path.join(dm, p))]
+    assert leftovers, "crash must leave uncommitted dirs for the drill"
+    m = run_vacuum_pass(spark, dm, keep_last=1, run_id="vx",
+                        orphan_min_age_sec=0.0)
+    for p in leftovers:
+        assert not os.path.isdir(os.path.join(dm, p)), f"orphan kept: {p}"
+    assert m["orphans"]["n_removed"] >= len(leftovers)
+    # a COMMITTED merge's dirs are all referenced: the sweep keeps them
+    dm2 = str(tmp_path / "m2")
+    run_merge_pass(spark, [da, db], dm2, tiers=TIERS, n_waves=2,
+                   run_id="mg2")
+    before = {t: _pts(spark, dm2, t) for t in TIERS}
+    run_vacuum_pass(spark, dm2, keep_last=1, run_id="vy",
+                    orphan_min_age_sec=0.0)
+    for t in TIERS:
+        pd.testing.assert_frame_equal(_pts(spark, dm2, t), before[t],
+                                      check_exact=True)
+
+
+def test_crash_resume_after_concurrent_delta_conflicts(spark, split,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """Code-review r7 #2 (the resume hole in the optimistic protocol):
+    retention crashes after its waves but before the commit; a refresh
+    delta lands in the crash window; resuming with the SAME run_id must
+    raise CommitConflictError (the persisted pin keeps the ORIGINAL
+    baseline) — pre-fix the validator re-captured at resume and silently
+    published a rewrite that dropped the delta. A fresh run_id then
+    succeeds and folds the delta."""
+    from spinterps_spark.plans import retention as RT
+    from spinterps_spark.plans.refresh import run_refresh_pass
+
+    d = str(tmp_path / "s")
+    _build(spark, split["a"], d)
+    b = split["t"].agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx")).first()
+    hz = b.mn + (b.mx - b.mn) // 4
+    real = RT.run_waved_pass
+
+    def crash(spark_, src, transform, out_dir, ckpt, run_id, stage, **kw):
+        real(spark_, src, transform, out_dir, ckpt, run_id, stage, **kw)
+        raise RuntimeError("simulated crash before the retention commit")
+
+    monkeypatch.setattr(RT, "run_waved_pass", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_retention_pass(spark, d, "1m", hz, run_id="rt", n_waves=2)
+    monkeypatch.setattr(RT, "run_waved_pass", real)
+    # a delta lands in the crash window
+    run_refresh_pass(spark, split["b"], d, tiers=TIERS, n_waves=2,
+                     run_id="late")
+    from spinterps_spark.sources.tableformat import CommitConflictError as CCE
+    with pytest.raises(CCE):
+        run_retention_pass(spark, d, "1m", hz, run_id="rt", n_waves=2)
+    # fresh run_id: reads the current view (delta folded), publishes fine
+    r = run_retention_pass(spark, d, "1m", hz, run_id="rt2", n_waves=2)
+    assert r["commit"] not in ("skipped", None)
+    got = _pts(spark, d, "1m")
+    assert int((got["bucket_ts"].astype("int64") // 10**9).min()) >= hz - \
+        120 * 60  # straddling-chunk slack: one chunk window at 1m

@@ -348,6 +348,12 @@ def test_iceberg_maintenance_procedures_offline():
         "CALL cat.system.rewrite_data_files(table => 'db.tiers', "
         "strategy => 'sort', sort_order => 'conv_id, chunk_start_ts', "
         "options => map('target-file-size-bytes', '134217728'))")
+    fmt.rewrite_data_files(128, where="tier = '1m'")
+    assert fake.last_sql == (
+        "CALL cat.system.rewrite_data_files(table => 'db.tiers', "
+        "strategy => 'sort', sort_order => 'conv_id, chunk_start_ts', "
+        "options => map('target-file-size-bytes', '134217728'), "
+        "where => 'tier = ''1m''')")
     with pytest.raises(RuntimeError, match="expire_snapshots"):
         fmt.dir_bytes("/warehouse/x")
     with pytest.raises(RuntimeError, match="expire_snapshots"):

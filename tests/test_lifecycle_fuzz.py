@@ -71,12 +71,27 @@ def test_random_maintenance_interleavings_preserve_the_view(
                                run_id="gt")
         gt_pts.append(_pts(spark, gdir))
 
+    # each ingestion slice ALSO exists as a standalone store, so the fuzz
+    # can draw either ingestion mechanism: refresh (a turn delta) or
+    # cross-store merge (plans/merge.py — the store migrates to a new
+    # location mid-life and every later op runs on the merged store)
+    from spinterps_spark.plans.merge import run_merge_pass
+
+    slice_stores = []
+    for i, p in enumerate(preds):
+        sdir = str(tmp_path / f"slice{i}")
+        run_retention_pipeline(spark, t.where(p), sdir, tiers=(TIER,),
+                               n_waves=2, gorilla=True,
+                               fuse_fill_and_chunks=True, run_id="gt")
+        slice_stores.append(sdir)
+
     d = str(tmp_path / "store")
     run_retention_pipeline(spark, rest, d, tiers=(TIER,), n_waves=2,
                            gorilla=True, fuse_fill_and_chunks=True,
                            run_id="boot")
     ingested, step, trace = 0, 0, []
-    ops = ["refresh", "compact", "flatten_rollup", "flatten_chunks", "vacuum"]
+    ops = ["refresh", "compact", "flatten_rollup", "flatten_chunks",
+           "vacuum", "merge_ingest"]
     while step < 8:
         op = rng.choice(ops)
         if op == "refresh":
@@ -85,6 +100,14 @@ def test_random_maintenance_interleavings_preserve_the_view(
             run_refresh_pass(spark, t.where(preds[ingested]), d,
                              tiers=(TIER,), n_waves=2,
                              run_id=f"r{step}")
+            ingested += 1
+        elif op == "merge_ingest":
+            if ingested >= len(preds):
+                continue
+            nd = str(tmp_path / f"store_m{step}")
+            run_merge_pass(spark, [d, slice_stores[ingested]], nd,
+                           tiers=(TIER,), n_waves=2, run_id=f"m{step}")
+            d = nd  # the store migrated; all later ops hit the merge
             ingested += 1
         elif op == "compact":
             run_compaction_pass(spark, d, TIER, target_file_mb=1,

@@ -387,3 +387,85 @@ def test_crash_resume_after_concurrent_delta_conflicts(spark, split,
     got = _pts(spark, d, "1m")
     assert int((got["bucket_ts"].astype("int64") // 10**9).min()) >= hz - \
         120 * 60  # straddling-chunk slack: one chunk window at 1m
+
+
+def test_merge_ok_kriging_equals_full_rebuild(spark, tmp_path):
+    """The flagship fill (ordinary kriging, per-cluster variogram weights)
+    rides merge too: the overlap re-encode uses the pipeline's own fused
+    kernel, so the merged store is bit-identical to a full OK rebuild."""
+    from spinterps_spark import datagen as DG
+
+    t = DG.transcripts_spark(spark, seed=13, n_turns_target=2000)
+    n_convs = len(DG.plan_sizes(13, 2000))
+    coords = DG.conv_coords_spark(spark, 13, n_convs)
+    vg = spark.createDataFrame(
+        [(c, "1.0 Sph(7200.0)") for c in range(8)],
+        "cluster_id int, vg_str string")
+    h = F.substring(F.md5("conv_id"), 1, 1)
+    pa = (h < "8") | ((h >= "c") & (F.col("turn_idx") % 2 == 0))
+    da, db, dm, df_ = (str(tmp_path / x) for x in ("a", "b", "m", "full"))
+    kw = dict(fill_method="OK", coords=coords, vg_dim=vg)
+    for d, src in ((da, t.where(pa)), (db, t.where(~pa)), (df_, t)):
+        run_retention_pipeline(spark, src, d, tiers=("1m",), n_waves=2,
+                               gorilla=True, fuse_fill_and_chunks=True,
+                               run_id="gt", **kw)
+    m = run_merge_pass(spark, [da, db], dm, tiers=("1m",), n_waves=2,
+                       run_id="mg", **kw)
+    assert m["n_overlap_convs"] > 0
+    pd.testing.assert_frame_equal(
+        _pts(spark, dm, "1m"), _pts(spark, df_, "1m"), check_exact=True)
+
+
+def test_three_source_merge(spark, split, tmp_path):
+    """k > 2 sources in one pass; the overlap set spans source pairs."""
+    t = split["t"]
+    h = split["h"]
+    # c+ convs split across A (even) and C (odd): overlap between
+    # NON-ADJACENT sources; B holds a disjoint conv band
+    pa = (h < "8") | ((h >= "c") & (F.col("turn_idx") % 2 == 0))
+    pb = h.between("8", "b")
+    pc = (h >= "c") & (F.col("turn_idx") % 2 == 1)
+    da, db, dc, dm, df_ = (str(tmp_path / x)
+                           for x in ("a", "b", "c", "m", "full"))
+    for d, src in ((da, t.where(pa)), (db, t.where(pb)),
+                   (dc, t.where(pc)), (df_, t)):
+        _build(spark, src, d)
+    m = run_merge_pass(spark, [da, db, dc], dm, tiers=TIERS, n_waves=2,
+                       run_id="mg")
+    assert m["n_src"] == 3 and m["n_overlap_convs"] > 0
+    for tier in TIERS:
+        pd.testing.assert_frame_equal(
+            _pts(spark, dm, tier), _pts(spark, df_, tier), check_exact=True)
+
+
+def test_router_serves_merged_store_across_horizons(spark, split, tmp_path):
+    """query_range on a MERGED store: the router reads the horizon the
+    merge propagated (tier_horizons via the merge commit), serves the
+    post-horizon band at 1m and falls through to the 1h tier below it."""
+    from spinterps_spark.plans.router import query_range
+
+    t = split["t"]
+    da, db, dm = (str(tmp_path / x) for x in ("a", "b", "m"))
+    _build(spark, split["a"], da)
+    _build(spark, split["b"], db)
+    b = t.agg(F.min(F.unix_timestamp("ts")).alias("mn"),
+              F.max(F.unix_timestamp("ts")).alias("mx")).first()
+    hz = ((b.mn + (b.mx - b.mn) // 2) // 3600) * 3600
+    for d in (da, db):
+        run_retention_pass(spark, d, "1m", hz, run_id="ret", n_waves=2)
+    run_merge_pass(spark, [da, db], dm, tiers=TIERS, n_waves=2, run_id="mg")
+    assert tier_horizons(spark, dm).get("1m") == hz
+    got = (query_range(spark, dm, int(b.mn), int(b.mx), resolution="1m")
+           .toPandas().sort_values(["conv_id", "bucket_ts"])
+           .reset_index(drop=True))
+    assert set(got["tier"]) == {"1m", "1h"}
+    epochs = got["bucket_ts"].astype("int64") // 10**9
+    assert int(epochs[got["tier"] == "1m"].min()) >= hz
+    assert int(epochs[got["tier"] == "1h"].max()) < hz
+    # the 1m band equals the merged store's own decoded 1m content
+    fine = _pts(spark, dm, "1m")
+    fine = fine[(fine["bucket_ts"].astype("int64") // 10**9) >= hz]
+    pd.testing.assert_frame_equal(
+        got[got["tier"] == "1m"][["conv_id", "bucket_ts", "value"]]
+        .reset_index(drop=True),
+        fine.reset_index(drop=True), check_exact=True)

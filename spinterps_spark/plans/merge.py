@@ -218,43 +218,68 @@ def run_merge_pass(
         if rfmt.committed(run_id, f"merge:{tier}"):
             merged = spark.read.parquet(os.path.join(roll_loc, "wave=*"))
         else:
+            # the rollup side is O(overlap) like the chunk side: rows of
+            # single-source conversations PASS THROUGH (broadcast anti
+            # join — no shuffle); only the overlap's rows re-sum (combine)
+            # / take the last-source row (overwrite). Exact: a conv's
+            # rollup rows are a deterministic per-conv function of its
+            # turns, and a single-source conv's merged rows ARE its
+            # source rows (their stored `valid` was computed under the
+            # same min_cnt contract the caller must match).
+            cols = ["conv_id", "bucket_ts", *METRIC_COLS, "valid"]
             if lower_merged is None:
-                cols = ["conv_id", "bucket_ts", *METRIC_COLS]
                 if mode == "combine":
                     src = src_rollups[0].select(*cols)
                     for r in src_rollups[1:]:
                         src = src.unionByName(r.select(*cols))
 
                     def make(sub, _mc=mc):
+                        if not n_overlap:
+                            return sub
                         # conv-local: per-wave re-sum == global re-sum
-                        return (
-                            sub.groupBy("conv_id", "bucket_ts")
+                        keep = sub.join(
+                            F.broadcast(ov), "conv_id", "left_anti")
+                        summed = (
+                            sub.join(F.broadcast(ov), "conv_id", "semi")
+                            .groupBy("conv_id", "bucket_ts")
                             .agg(*[F.sum(c).alias(c) for c in METRIC_COLS])
                             .withColumn(
                                 "valid", F.col("turn_cnt") >= F.lit(_mc))
                         )
+                        return keep.unionByName(summed)
                 else:  # overwrite: last source wins per (conv, bucket)
                     src = None
                     for i, r in enumerate(src_rollups):
-                        leg = r.select(*cols, "valid").withColumn(
-                            "_pri", F.lit(i))
+                        leg = r.select(*cols).withColumn("_pri", F.lit(i))
                         src = leg if src is None else src.unionByName(leg)
 
                     def make(sub):
+                        if not n_overlap:
+                            return sub.drop("_pri")
+                        keep = sub.join(
+                            F.broadcast(ov), "conv_id", "left_anti"
+                        ).drop("_pri")
                         w = Window.partitionBy(
                             "conv_id", "bucket_ts"
                         ).orderBy(F.col("_pri").desc())
-                        return (
-                            sub.withColumn("_rn", F.row_number().over(w))
+                        won = (
+                            sub.join(F.broadcast(ov), "conv_id", "semi")
+                            .withColumn("_rn", F.row_number().over(w))
                             .where(F.col("_rn") == 1).drop("_rn", "_pri")
                         )
+                        return keep.unionByName(won)
             else:
+                # coarser tiers recompute from the merged finer tier
+                # (validity counts valid lower buckets — not mergeable,
+                # same rule as refresh). NOT split by overlap: the waved
+                # transform must be conv-local over its OWN input (output
+                # waves re-derive from conv hash, so pulling rows from a
+                # non-wave-filtered side table would duplicate convs
+                # across waves on resume); the coarser tables are ~60x
+                # smaller than the base, so the full recompute is cheap
                 src = lower_merged
 
                 def make(sub, _tier=tier, _mc=mc):
-                    # coarser tiers recompute from the merged finer tier
-                    # (validity counts valid lower buckets — not mergeable,
-                    # same rule as refresh)
                     return rollup_tier(sub, _tier, min_cnt=_mc)
 
             merged = run_waved_pass(

@@ -399,6 +399,48 @@ def main():
                       "GreaterThanOrEqual(chunk_start_ts",
                       "non-broadcast exchanges: 0"]))
 
+    # r7: the merge pass's ROLLUP stage (plans/merge.py, combine mode) —
+    # single-source conversations' rows PASS THROUGH a broadcast anti
+    # join; only the overlap's rows reach the re-sum groupBy. The plan
+    # must show exactly ONE non-broadcast exchange (the overlap re-sum's
+    # hash partitioning) no matter how large the union of source tables
+    # is: merge rollup cost is O(overlap), not O(store).
+    d24 = tempfile.mkdtemp(prefix="explain_merge_roll_")
+    R.base_rollup(
+        fixtures.load_transcripts(spark, sf).where(
+            F.substring(F.md5("conv_id"), 1, 1) < "c"), "1h"
+    ).write.parquet(f"{d24}/a")
+    R.base_rollup(
+        fixtures.load_transcripts(spark, sf).where(
+            F.substring(F.md5("conv_id"), 1, 1) >= "8"), "1h"
+    ).write.parquet(f"{d24}/b")
+    r24a, r24b = spark.read.parquet(f"{d24}/a"), spark.read.parquet(f"{d24}/b")
+    # the overlap-conv sidecar is a tiny parquet in the real pass too
+    (r24a.select("conv_id").intersect(r24b.select("conv_id"))
+     .write.parquet(f"{d24}/ov"))
+    ov24 = spark.read.parquet(f"{d24}/ov")
+    from spinterps_spark.operators.rollup import METRIC_COLS
+    cols24 = ["conv_id", "bucket_ts", *METRIC_COLS, "valid"]
+    union24 = r24a.select(*cols24).unionByName(r24b.select(*cols24))
+    keep24 = union24.join(F.broadcast(ov24), "conv_id", "left_anti")
+    summed24 = (union24.join(F.broadcast(ov24), "conv_id", "semi")
+                .groupBy("conv_id", "bucket_ts")
+                .agg(*[F.sum(c).alias(c) for c in METRIC_COLS])
+                .withColumn("valid", F.col("turn_cnt") >= F.lit(1)))
+    p24 = plan_of(keep24.unionByName(summed24))
+    # count Exchange NODES (the "(n) Exchange" detail headers), not raw
+    # substring hits — a formatted plan prints each node twice (tree +
+    # detail), unlike the tree-only plans of the earlier sections
+    n_shuffle24 = len(re.findall(r"\(\d+\) Exchange\b", p24))
+    p24 = (f"(non-broadcast exchanges: {n_shuffle24} — must be 1, the "
+           "overlap re-sum's hash partitioning; every single-source row "
+           "rides the broadcast anti join straight to the write)\n") + p24
+    sections.append(("Merge rollup stage (r7: pass-through + overlap-only "
+                     "re-sum — one bounded exchange)", p24,
+                     ["LeftAnti", "LeftSemi", "BroadcastExchange",
+                      "HashAggregate",
+                      "non-broadcast exchanges: 1"]))
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# EXPLAIN — physical-plan audit of the headline operators\n\n")
         f.write("Generated by tools_explain_audit.py (local[4], sf0.01 inputs). "

@@ -117,14 +117,10 @@ def run_compaction_pass(
         # range clustering to rewrite_data_files (sort strategy on the
         # pruned-read keys) instead of the copy-on-write parquet rewrite
         # (VERDICT r6 #6). Scoped to THIS tier (code-review r7 #6 — an
-        # unscoped call would rewrite every tier on each scheduled run),
-        # and skipped when this (run_id, stage) already ran; a repeated
-        # rewrite is content-safe (Iceberg's procedure is idempotent in
-        # effect) but wasted write amplification.
-        if getattr(fmt, "committed", None) and fmt.committed(run_id, stage):
-            return {"run_id": run_id, "tier": tier, "commit": "skipped",
-                    "mode": "iceberg-rewrite-data-files",
-                    "wall_sec": time.time() - t0}
+        # unscoped call would rewrite every tier on each scheduled run).
+        # No (run_id, stage) resume skip here: rewrite_data_files records
+        # no run marker, so a retry repeats the rewrite — content-safe
+        # (the procedure preserves rows), just repeated write work.
         res = [r.asDict() if hasattr(r, "asDict") else dict(r)
                for r in fmt.rewrite_data_files(
                    target_file_mb, where=f"tier = '{tier}'")]
@@ -132,13 +128,14 @@ def run_compaction_pass(
                 "mode": "iceberg-rewrite-data-files", "result": res,
                 "wall_sec": time.time() - t0}
 
+    pin = os.path.join(out_dir, "_pins", f"compaction-{tier}-{run_id}.json")
     if fmt.committed(run_id, stage):
+        release_pin(pin)  # converge a crash between commit and release
         return {"run_id": run_id, "tier": tier, "commit": "skipped",
                 "wall_sec": time.time() - t0}
 
     # pin the tier history the rewrite folds; revalidated under the commit's
     # atomic claim so a concurrent refresh delta can't be silently dropped
-    pin = os.path.join(out_dir, "_pins", f"compaction-{tier}-{run_id}.json")
     validate = pinned_tier_validator(pin, [(fmt, tier)])
     _, src, files = _tier_source(spark, out_dir, tier)
     # sizes through the seam: the posix getsize is the parquet fallback's

@@ -149,7 +149,9 @@ def run_evolve_pass(
     for tier in tiers:
         t_tier = time.time()
         stage = f"evolve:{tier}"
+        pin = os.path.join(out_dir, "_pins", f"evolve-{tier}-{run_id}.json")
         if cfmt.committed(run_id, stage):
+            release_pin(pin)  # converge a crash between commit and release
             # crash window between the chunks commit and the settings
             # stamp: converge by (re)stamping on resume — idempotent
             if not rfmt.committed(run_id, f"meta:evolve:{tier}"):
@@ -167,7 +169,6 @@ def run_evolve_pass(
         # rollup state for the refreshed convs. The baseline is PERSISTED
         # so a crash + concurrent commit + same-run_id resume conflicts
         # instead of re-capturing (code-review r7 #2)
-        pin = os.path.join(out_dir, "_pins", f"evolve-{tier}-{run_id}.json")
         validate = pinned_tier_validator(pin, [(cfmt, tier), (rfmt, tier)])
 
         rolled = current_rollup(spark, out_dir, tier)

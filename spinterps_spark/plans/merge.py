@@ -163,14 +163,6 @@ def run_merge_pass(
                 "store; use refresh to add data to an existing one"
             )
 
-    # pin every source's tier history NOW; revalidated under each publish.
-    # The baseline is PERSISTED under the out store so a crash + concurrent
-    # source commit + same-run_id resume conflicts instead of re-capturing
-    # the post-commit state (code-review r7 #2)
-    pin = os.path.join(out_dir, "_pins", f"merge-{run_id}.json")
-    validate = pinned_tier_validator(
-        pin, [(f, t) for t in tiers for f in (*src_rfmts, *src_cfmts)])
-
     src_rollups = []
     for d in src_dirs:
         r = current_rollup(spark, d, tiers[0])
@@ -179,6 +171,16 @@ def run_merge_pass(
                 f"merge: no committed rollup for tier={tiers[0]} under {d}"
             )
         src_rollups.append(r)
+
+    # pin every source's tier history NOW (after all validation, before
+    # the first ACTION on source data — current_rollup above only builds
+    # plans); revalidated under each publish. The baseline is PERSISTED
+    # under the out store so a crash + concurrent source commit +
+    # same-run_id resume conflicts instead of re-capturing the
+    # post-commit state (code-review r7 #2)
+    pin = os.path.join(out_dir, "_pins", f"merge-{run_id}.json")
+    validate = pinned_tier_validator(
+        pin, [(f, t) for t in tiers for f in (*src_rfmts, *src_cfmts)])
 
     # overlap = conversations present in more than one source (base tier)
     marked = None
@@ -234,17 +236,24 @@ def run_merge_pass(
                         src = src.unionByName(r.select(*cols))
 
                     def make(sub, _mc=mc):
+                        # UNIFORM validity: every output row gets valid
+                        # recomputed under the caller's min_cnt (a
+                        # shuffle-free projection on the pass-through
+                        # rows) — leaning on the stored valid would make
+                        # a min_cnt mismatch produce mixed semantics in
+                        # one store instead of one consistent answer
+                        revalid = F.col("turn_cnt") >= F.lit(_mc)
                         if not n_overlap:
-                            return sub
+                            return sub.withColumn("valid", revalid)
                         # conv-local: per-wave re-sum == global re-sum
                         keep = sub.join(
-                            F.broadcast(ov), "conv_id", "left_anti")
+                            F.broadcast(ov), "conv_id", "left_anti"
+                        ).withColumn("valid", revalid)
                         summed = (
                             sub.join(F.broadcast(ov), "conv_id", "semi")
                             .groupBy("conv_id", "bucket_ts")
                             .agg(*[F.sum(c).alias(c) for c in METRIC_COLS])
-                            .withColumn(
-                                "valid", F.col("turn_cnt") >= F.lit(_mc))
+                            .withColumn("valid", revalid)
                         )
                         return keep.unionByName(summed)
                 else:  # overwrite: last source wins per (conv, bucket)

@@ -89,7 +89,11 @@ def run_retention_pass(
     fmt = table_format or tier_tables(spark, os.path.join(out_dir, "chunks"))
     ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
 
+    pin = os.path.join(out_dir, "_pins", f"retention-{tier}-{run_id}.json")
     if fmt.committed(run_id, stage):
+        # a crash between the commit and release_pin strands the pin; the
+        # committed re-run is the converge point (code-review r7 pass 2)
+        release_pin(pin)
         return {"run_id": run_id, "tier": tier, "commit": "skipped",
                 "wall_sec": time.time() - t0}
 
@@ -104,7 +108,6 @@ def run_retention_pass(
     # pinned (persisted) baseline: a crash + concurrent delta + same-
     # run_id resume must CONFLICT, not re-capture and silently fold the
     # delta away (code-review r7 #2)
-    pin = os.path.join(out_dir, "_pins", f"retention-{tier}-{run_id}.json")
     validate = pinned_tier_validator(pin, [(fmt, tier)])
     src = read_tier_chunks(spark, out_dir, tier)
     if "chunk_size" not in src.columns:

@@ -230,6 +230,11 @@ _ORPHAN_PATTERNS = (
     "chunks_merge_delta/tier=*/gen=*",
     "refresh/run=*/convs",
     "merge/run=*/convs",
+    # pinned-history baselines (sources/tableformat.pinned_tier_validator):
+    # released after each pass's final commit, but a crash in the
+    # commit-to-release window strands the file — age-guarded like the
+    # generation dirs
+    "_pins/*.json",
 )
 
 
@@ -253,7 +258,17 @@ def _sweep_orphans(out_dir: str, snaps: dict[str, list[dict]],
     for pat in _ORPHAN_PATTERNS:
         for p in _g.glob(os.path.join(out_dir, pat)):
             rp = os.path.realpath(p)
-            if rp in referenced or not os.path.isdir(rp):
+            if rp in referenced:
+                continue
+            if os.path.isfile(rp):
+                # pin baselines are single files, not generation dirs
+                if now - os.path.getmtime(rp) < min_age_sec:
+                    continue
+                freed += os.path.getsize(rp)
+                os.remove(rp)
+                removed.append(p)
+                continue
+            if not os.path.isdir(rp):
                 continue
             newest = os.path.getmtime(rp)
             for root, _dirs, files in os.walk(rp):

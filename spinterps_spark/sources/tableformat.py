@@ -103,23 +103,34 @@ def pinned_tier_validator(pin_path: str, pairs: list) -> "callable":
     remove `pin_path` after their final successful commit (release_pin);
     a leftover pin is harmless — committed (run_id, stage) short-circuits
     before any validator runs."""
+    def _key(fmt, tier):
+        ident = getattr(fmt, "location", None) or getattr(fmt, "table", "?")
+        return f"{ident}:{tier}"
+
+    keys = [_key(fmt, tier) for fmt, tier in pairs]
     if os.path.exists(pin_path):
         with open(pin_path) as f:
-            base = json.load(f)
+            rec = json.load(f)
+        if rec.get("keys") != keys:
+            # identity check, not just length: a same-run_id resume with
+            # reordered/swapped sources would otherwise compare each
+            # baseline against the WRONG store's history and raise a
+            # misleading concurrency error
+            raise RuntimeError(
+                f"pin {pin_path} was recorded for {rec.get('keys')} but "
+                f"this resume validates {keys} — the pass was resumed "
+                "with different sources/tiers (or a different order); "
+                "use a fresh run_id"
+            )
+        base = rec["hist"]
     else:
         base = [tier_data_commit_ids(fmt.snapshots(), tier)
                 for fmt, tier in pairs]
         os.makedirs(os.path.dirname(pin_path), exist_ok=True)
         tmp = pin_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(base, f)
+            json.dump({"keys": keys, "hist": base}, f)
         os.replace(tmp, pin_path)
-    if len(base) != len(pairs):
-        raise RuntimeError(
-            f"pin {pin_path} records {len(base)} tier histories but this "
-            f"resume validates {len(pairs)} — the pass was resumed with "
-            "different sources/tiers; use a fresh run_id"
-        )
 
     def validate(_snapshots=None):
         for (fmt, tier), seen in zip(pairs, base):

@@ -348,25 +348,27 @@ def encode_tier_chunks(filled: DataFrame_or_any, tier: str, value_col: str = "va
     )
 
     def to_chunks(pdf: pd.DataFrame) -> pd.DataFrame:
-        starts = np.append(group_bounds(pdf, ["conv_id", "_ck"]), len(pdf))
+        from spinterps_spark.compress.gorilla_vec import (
+            encode_ts_many, encode_vals_many,
+        )
+
+        starts = group_bounds(pdf, ["conv_id", "_ck"])
         t_all = pdf["_t"].to_numpy(np.int64)
         v_all = pdf["_v"].to_numpy(np.float64)
         conv_all = pdf["conv_id"].to_numpy()
-        cols = {k: [] for k in (
-            "conv_id", "n", "first_ts", "first_val", "ts_d2d", "vals_xor")}
-        for i in range(len(starts) - 1):
-            s, e = starts[i], starts[i + 1]
-            c = encode_chunk(t_all[s:e], v_all[s:e])
-            cols["conv_id"].append(conv_all[s])
-            cols["n"].append(c["n"])
-            cols["first_ts"].append(c["first_ts"])
-            cols["first_val"].append(c["first_val"])
-            cols["ts_d2d"].append(c["ts_d2d"])
-            cols["vals_xor"].append(c["vals_xor"])
-        out = pd.DataFrame(cols)
+        ns = np.diff(np.append(starts, len(pdf)))
+        first_ts = t_all[starts] if len(pdf) else np.zeros(0, np.int64)
+        out = pd.DataFrame({
+            "conv_id": conv_all[starts] if len(pdf) else conv_all,
+            "n": ns.astype(np.int32),
+            "first_ts": first_ts,
+            "first_val": (v_all[starts] if len(pdf)
+                          else np.zeros(0, np.float64)),
+            "ts_d2d": encode_ts_many(t_all, starts),
+            "vals_xor": encode_vals_many(v_all, starts),
+        })
         out.insert(1, "tier", tier)
-        out.insert(2, "chunk_start_ts", pd.to_datetime(
-            np.asarray(cols["first_ts"], dtype="int64"), unit="s"))
+        out.insert(2, "chunk_start_ts", pd.to_datetime(first_ts, unit="s"))
         out["chunk_size"] = np.int32(chunk_size)
         return out[["conv_id", "tier", "chunk_start_ts", "n",
                     "first_ts", "first_val", "ts_d2d", "vals_xor",
@@ -377,35 +379,32 @@ def encode_tier_chunks(filled: DataFrame_or_any, tier: str, value_col: str = "va
 
 def decode_tier_chunks(chunks):
     """Inverse of encode_tier_chunks via mapInPandas (verification read).
-    Decoded arrays are accumulated and emitted as ONE frame per Arrow batch
-    (np.concatenate + np.repeat) instead of a per-chunk DataFrame build.
+    Every chunk of an Arrow batch is decoded in ONE lockstep pass
+    (compress/gorilla_vec.py) — no per-chunk Python, no per-point Python;
+    the decoded flat arrays are emitted as one frame per batch.
     A multi-metric chunk table (the fused pass's extra_value_cols output)
     carries a `metric` column; it is repeated per point like conv_id."""
+    from spinterps_spark.compress.gorilla_vec import (
+        decode_ts_many, decode_vals_many,
+    )
+
     has_metric = "metric" in chunks.columns
 
     def expand(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ts_parts, val_parts = [], []
             ns = pdf["n"].to_numpy(np.int64)
-            for row in pdf.itertuples(index=False):
-                ts, vals = decode_chunk(
-                    {
-                        "n": row.n,
-                        "first_ts": row.first_ts,
-                        "first_val": row.first_val,
-                        "ts_d2d": row.ts_d2d,
-                        "vals_xor": row.vals_xor,
-                    }
-                )
-                ts_parts.append(ts)
-                val_parts.append(vals)
+            ts = decode_ts_many(
+                pdf["first_ts"].to_numpy(np.int64), list(pdf["ts_d2d"]), ns)
+            vals = decode_vals_many(
+                pdf["first_val"].to_numpy(np.float64),
+                list(pdf["vals_xor"]), ns)
             out = {
                 "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
                 "tier": np.repeat(pdf["tier"].to_numpy(), ns),
-                "bucket_ts": pd.to_datetime(np.concatenate(ts_parts), unit="s"),
-                "value": np.concatenate(val_parts),
+                "bucket_ts": pd.to_datetime(ts, unit="s"),
+                "value": vals,
             }
             if has_metric:
                 out["metric"] = np.repeat(pdf["metric"].to_numpy(), ns)

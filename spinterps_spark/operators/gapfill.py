@@ -620,34 +620,43 @@ def _encode_filled(conv_arr, t_arr, v_arr, tier: str, span: int,
     time-aligned chunk rows (fused fill+encode path). chunk_size is the
     encode-time points-per-chunk setting (span == chunk_size * tier
     seconds), stamped into every row so pruned reads derive the span from
-    the table (compress/gorilla.CHUNK_SCHEMA)."""
-    from spinterps_spark.compress.gorilla import encode_chunk
+    the table (compress/gorilla.CHUNK_SCHEMA). All chunks of the batch are
+    encoded in one vectorized pass (compress/gorilla_vec.py) — NaN rows are
+    dropped first, so chunk boundaries and streams are byte-identical to
+    the per-chunk scalar encode of each group's non-NaN rows."""
+    from spinterps_spark.compress.gorilla_vec import (
+        encode_ts_many, encode_vals_many,
+    )
 
-    n = len(conv_arr)
-    cols = {k: [] for k in (
-        "conv_id", "n", "first_ts", "first_val", "ts_d2d", "vals_xor")}
-    if n:
-        ck = t_arr // span
-        change = np.zeros(n, dtype=bool)
+    keep = ~np.isnan(v_arr)
+    conv_k = conv_arr[keep]
+    t_k = t_arr[keep]
+    v_k = v_arr[keep]
+    nk = len(conv_k)
+    if nk:
+        ck = t_k // span
+        change = np.zeros(nk, dtype=bool)
         change[0] = True
-        change[1:] = (conv_arr[1:] != conv_arr[:-1]) | (ck[1:] != ck[:-1])
-        starts = np.append(np.flatnonzero(change), n)
-        for i in range(len(starts) - 1):
-            s, e = starts[i], starts[i + 1]
-            ok = ~np.isnan(v_arr[s:e])
-            if not ok.any():
-                continue
-            c = encode_chunk(t_arr[s:e][ok], v_arr[s:e][ok])
-            cols["conv_id"].append(conv_arr[s])
-            cols["n"].append(c["n"])
-            cols["first_ts"].append(c["first_ts"])
-            cols["first_val"].append(c["first_val"])
-            cols["ts_d2d"].append(c["ts_d2d"])
-            cols["vals_xor"].append(c["vals_xor"])
-    out = pd.DataFrame(cols)
+        change[1:] = (conv_k[1:] != conv_k[:-1]) | (ck[1:] != ck[:-1])
+        starts = np.flatnonzero(change)
+        first_ts = t_k[starts]
+        out = pd.DataFrame({
+            "conv_id": conv_k[starts],
+            "n": np.diff(np.append(starts, nk)).astype(np.int32),
+            "first_ts": first_ts,
+            "first_val": v_k[starts],
+            "ts_d2d": encode_ts_many(t_k, starts),
+            "vals_xor": encode_vals_many(v_k, starts),
+        })
+    else:
+        first_ts = np.zeros(0, dtype=np.int64)
+        out = pd.DataFrame({
+            "conv_id": conv_k, "n": np.zeros(0, np.int32),
+            "first_ts": first_ts, "first_val": v_k,
+            "ts_d2d": [], "vals_xor": [],
+        })
     out.insert(1, "tier", tier)
-    out.insert(2, "chunk_start_ts", pd.to_datetime(
-        np.asarray(cols["first_ts"], dtype="int64"), unit="s"))
+    out.insert(2, "chunk_start_ts", pd.to_datetime(first_ts, unit="s"))
     out["chunk_size"] = np.int32(chunk_size)
     return out[["conv_id", "tier", "chunk_start_ts", "n",
                 "first_ts", "first_val", "ts_d2d", "vals_xor",

@@ -28,6 +28,23 @@ def _dist(ax, ay, bx, by):
     return F.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
 
 
+# join_on=None cross-joins EVERY dst row against the whole refs table — the
+# all-neighbors semantic (T3) is only sane for dim-sized refs (coords
+# tables). The loud bound stops a future caller from feeding a fact table
+# into an O(dst x refs) plan (VERDICT r7 next-step #5).
+CROSSJOIN_REFS_MAX = 1_000_000
+
+
+def _crossjoin_guard(refs: DataFrame, fn_name: str) -> None:
+    n = refs.limit(CROSSJOIN_REFS_MAX + 1).count()
+    if n > CROSSJOIN_REFS_MAX:
+        raise ValueError(
+            f"{fn_name}: join_on=None cross-joins every dst row against "
+            f"the refs table, which has more than {CROSSJOIN_REFS_MAX:,} "
+            "rows — pass join_on (a cluster key) or pre-bucket the refs"
+        )
+
+
 def knn_neighbors(
     dst: DataFrame, refs: DataFrame, k: int,
     join_on: str | None = "cluster_id",
@@ -44,7 +61,11 @@ def knn_neighbors(
         F.col("y").alias("ry"),
         *( [F.col(join_on).alias("_jr")] if join_on else [] ),
     )
-    j = d.join(r, F.col("_j") == F.col("_jr")) if join_on else d.crossJoin(r)
+    if join_on:
+        j = d.join(r, F.col("_j") == F.col("_jr"))
+    else:
+        _crossjoin_guard(refs, "knn_neighbors")
+        j = d.crossJoin(r)
     j = j.where(F.col("dst_id") != F.col("neighbor_id"))
     j = j.withColumn("dist", F.round(_dist(F.col("dx"), F.col("dy"), F.col("rx"), F.col("ry")), 4))
     w = W.partitionBy("dst_id").orderBy("dist", "neighbor_id")
@@ -127,7 +148,11 @@ def pie_neighbors(
         F.col("y").alias("ry"),
         *( [F.col(join_on).alias("_jr")] if join_on else [] ),
     )
-    j = d.join(r, F.col("_j") == F.col("_jr")) if join_on else d.crossJoin(r)
+    if join_on:
+        j = d.join(r, F.col("_j") == F.col("_jr"))
+    else:
+        _crossjoin_guard(refs, "pie_neighbors")
+        j = d.crossJoin(r)
     j = j.where(F.col("dst_id") != F.col("neighbor_id"))
     xd = F.col("rx") - F.col("dx")
     yd = F.col("ry") - F.col("dy")

@@ -89,8 +89,10 @@ def run_evolve_pass(
     fill_metric / extra_fill_metrics / fill_method / coords / vg_dim /
     drift / fill_knobs must MATCH what the store was built with (validated
     against the stamped fill_metrics set, same contract as refresh); the
-    new metric names must be disjoint from the existing set. Requires a
-    fill_method — the no-fill encode path is single-metric by design.
+    new metric names must be disjoint from the existing set.
+    fill_method=None is supported (ADVICE r7 #4): the new metrics take the
+    per-metric no-fill branch — a direct encode of the merged valid rollup
+    rows, horizon-trimmed exactly like the filled branch.
 
     Returns a metrics dict (per-tier chunks published, wall time).
     """

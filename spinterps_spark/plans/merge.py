@@ -92,6 +92,7 @@ def run_merge_pass(
     n_waves: int = 2,
     run_id: str | None = None,
     one_pass: bool = True,
+    broadcast_overlap_limit: int = 2_000_000,
 ) -> dict:
     """Merge the stores at `src_dirs` into a NEW store at `out_dir`.
 
@@ -128,59 +129,74 @@ def run_merge_pass(
                  for d in src_dirs]
     src_cfmts = [tier_tables(spark, os.path.join(d, "chunks"))
                  for d in src_dirs]
-    for d, rf in zip(src_dirs, src_rfmts):
-        st = _stamped_metrics(rf)
-        if st is not None and st != mine:
-            raise ValueError(
-                f"merge: source {d} was built with metric set {st}, caller "
-                f"passed {mine} — all sources and the merge call must use "
-                "one metric set (evolve the sources first)"
-            )
 
-    # horizon equality across sources, per tier (the coords-equality
-    # assert analog): copied chunks inherit their source's horizon
-    src_hz = [tier_horizons(spark, d) for d in src_dirs]
-    horizons: dict[str, int] = {}
-    for tier in tiers:
-        hzs = {h.get(tier, 0) for h in src_hz}
-        if len(hzs) > 1:
-            raise ValueError(
-                f"merge: sources disagree on tier={tier} retention horizon "
-                f"({sorted(hzs)}) — run retention to align them first"
-            )
-        horizons[tier] = hzs.pop()
-
-    ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
-    rfmt = tier_tables(spark, os.path.join(out_dir, "rollup"))
-    cfmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
-    for fmt, what in ((rfmt, "rollup"), (cfmt, "chunks")):
-        alien = [s for s in fmt.snapshots()
-                 if s.get("tier") in tiers and s.get("run_id") != run_id]
-        if alien:
-            raise ValueError(
-                f"merge: out store {out_dir} already has {len(alien)} "
-                f"{what} commit(s) from other runs — merge publishes a NEW "
-                "store; use refresh to add data to an existing one"
-            )
-
-    src_rollups = []
-    for d in src_dirs:
-        r = current_rollup(spark, d, tiers[0])
-        if r is None:
-            raise ValueError(
-                f"merge: no committed rollup for tier={tiers[0]} under {d}"
-            )
-        src_rollups.append(r)
-
-    # pin every source's tier history NOW (after all validation, before
-    # the first ACTION on source data — current_rollup above only builds
-    # plans); revalidated under each publish. The baseline is PERSISTED
-    # under the out store so a crash + concurrent source commit +
-    # same-run_id resume conflicts instead of re-capturing the
-    # post-commit state (code-review r7 #2)
+    # pin every source's tier history FIRST — before the stamped-metric /
+    # horizon / current_rollup metadata reads below, so every source read
+    # of this pass (metadata included) is covered by the pin baseline
+    # (ADVICE r7 #2: current_rollup eagerly resolves source snapshot logs
+    # into frozen data locations, so a commit landing between those reads
+    # and a later pin capture would be absorbed silently). Revalidated
+    # under each publish; PERSISTED under the out store so a crash +
+    # concurrent source commit + same-run_id resume conflicts instead of
+    # re-capturing the post-commit state (code-review r7 #2).
     pin = os.path.join(out_dir, "_pins", f"merge-{run_id}.json")
+    pin_preexisting = os.path.exists(pin)
     validate = pinned_tier_validator(
         pin, [(f, t) for t in tiers for f in (*src_rfmts, *src_cfmts)])
+
+    try:
+        for d, rf in zip(src_dirs, src_rfmts):
+            st = _stamped_metrics(rf)
+            if st is not None and st != mine:
+                raise ValueError(
+                    f"merge: source {d} was built with metric set {st}, "
+                    f"caller passed {mine} — all sources and the merge call "
+                    "must use one metric set (evolve the sources first)"
+                )
+
+        # horizon equality across sources, per tier (the coords-equality
+        # assert analog): copied chunks inherit their source's horizon
+        src_hz = [tier_horizons(spark, d) for d in src_dirs]
+        horizons: dict[str, int] = {}
+        for tier in tiers:
+            hzs = {h.get(tier, 0) for h in src_hz}
+            if len(hzs) > 1:
+                raise ValueError(
+                    f"merge: sources disagree on tier={tier} retention "
+                    f"horizon ({sorted(hzs)}) — run retention to align "
+                    "them first"
+                )
+            horizons[tier] = hzs.pop()
+
+        ckpt = CheckpointLog(spark, os.path.join(out_dir, "ckpt"))
+        rfmt = tier_tables(spark, os.path.join(out_dir, "rollup"))
+        cfmt = tier_tables(spark, os.path.join(out_dir, "chunks"))
+        for fmt, what in ((rfmt, "rollup"), (cfmt, "chunks")):
+            alien = [s for s in fmt.snapshots()
+                     if s.get("tier") in tiers and s.get("run_id") != run_id]
+            if alien:
+                raise ValueError(
+                    f"merge: out store {out_dir} already has {len(alien)} "
+                    f"{what} commit(s) from other runs — merge publishes a "
+                    "NEW store; use refresh to add data to an existing one"
+                )
+
+        src_rollups = []
+        for d in src_dirs:
+            r = current_rollup(spark, d, tiers[0])
+            if r is None:
+                raise ValueError(
+                    f"merge: no committed rollup for tier={tiers[0]} "
+                    f"under {d}"
+                )
+            src_rollups.append(r)
+    except Exception:
+        # validation failed before any data work: release the pin ONLY if
+        # this invocation captured it (a pre-existing pin belongs to the
+        # crashed pass whose baseline a resume must keep)
+        if not pin_preexisting:
+            release_pin(pin)
+        raise
 
     # overlap = conversations present in more than one source (base tier)
     marked = None
@@ -200,6 +216,16 @@ def run_merge_pass(
             ov.write.mode("overwrite").parquet(convs_loc)
             ov = spark.read.parquet(convs_loc)
 
+    # broadcast-overlap guard (VERDICT r7 next-step #2): the design case is
+    # a small overlap, where broadcasting the conv set keeps the
+    # single-source rows shuffle-free. But mode="overwrite" exists for
+    # duplicated ingest, where overlap ~ the WHOLE store — broadcasting
+    # every conv_id would OOM the driver/executors. Above the limit the
+    # anti/semi joins run as shuffle joins instead: one extra exchange,
+    # still O(store), never O(pairs).
+    overlap_broadcast = n_overlap <= broadcast_overlap_limit
+    ovj = F.broadcast(ov) if overlap_broadcast else ov
+
     from spinterps_spark.plans.pipeline import fused_fill_builder
 
     project, chunker = fused_fill_builder(
@@ -208,7 +234,8 @@ def run_merge_pass(
     )
 
     metrics: dict = {"run_id": run_id, "mode": mode, "n_src": len(src_dirs),
-                     "n_overlap_convs": n_overlap, "tiers": {}}
+                     "n_overlap_convs": n_overlap,
+                     "overlap_broadcast": overlap_broadcast, "tiers": {}}
     lower_merged: DataFrame | None = None
     for tier in tiers:
         t_tier = time.time()
@@ -247,10 +274,10 @@ def run_merge_pass(
                             return sub.withColumn("valid", revalid)
                         # conv-local: per-wave re-sum == global re-sum
                         keep = sub.join(
-                            F.broadcast(ov), "conv_id", "left_anti"
+                            ovj, "conv_id", "left_anti"
                         ).withColumn("valid", revalid)
                         summed = (
-                            sub.join(F.broadcast(ov), "conv_id", "semi")
+                            sub.join(ovj, "conv_id", "semi")
                             .groupBy("conv_id", "bucket_ts")
                             .agg(*[F.sum(c).alias(c) for c in METRIC_COLS])
                             .withColumn("valid", revalid)
@@ -266,13 +293,13 @@ def run_merge_pass(
                         if not n_overlap:
                             return sub.drop("_pri")
                         keep = sub.join(
-                            F.broadcast(ov), "conv_id", "left_anti"
+                            ovj, "conv_id", "left_anti"
                         ).drop("_pri")
                         w = Window.partitionBy(
                             "conv_id", "bucket_ts"
                         ).orderBy(F.col("_pri").desc())
                         won = (
-                            sub.join(F.broadcast(ov), "conv_id", "semi")
+                            sub.join(ovj, "conv_id", "semi")
                             .withColumn("_rn", F.row_number().over(w))
                             .where(F.col("_rn") == 1).drop("_rn", "_pri")
                         )
@@ -314,7 +341,7 @@ def run_merge_pass(
                     )
                 bounds.append(tier_chunk_size_bound(spark, d, tier))
                 if n_overlap:
-                    cc = cc.join(F.broadcast(ov), "conv_id", "left_anti")
+                    cc = cc.join(ovj, "conv_id", "left_anti")
                 copy_src = cc if copy_src is None else copy_src.unionByName(cc)
 
             copied = run_waved_pass(
@@ -344,7 +371,7 @@ def run_merge_pass(
                 out_dir, f"chunks_merge_delta/tier={tier}/gen={run_id}")
             ser = project(
                 merged.where(F.col("valid"))
-                .join(F.broadcast(ov), "conv_id", "semi")
+                .join(ovj, "conv_id", "semi")
             )
             hz = horizons[tier] or None
             if fill_method is None:

@@ -261,8 +261,29 @@ def _sweep_orphans(out_dir: str, snaps: dict[str, list[dict]],
             if rp in referenced:
                 continue
             if os.path.isfile(rp):
-                # pin baselines are single files, not generation dirs
-                if now - os.path.getmtime(rp) < min_age_sec:
+                # pin baselines are single files, not generation dirs.
+                # Age alone is not enough (ADVICE r7 #3): a pass can run
+                # longer than min_age_sec while its pin (written once at
+                # pass start) goes stale — deleting it would let a later
+                # crash+resume re-capture the baseline and absorb
+                # concurrent commits. A pin is LIVE while ANY artifact of
+                # its run_id (gen=/run= dirs, which every wave touches) is
+                # younger than min_age_sec; its own mtime still counts too.
+                newest = os.path.getmtime(rp)
+                run_id = os.path.basename(rp)[:-5].split("-", 1)[-1]
+                if run_id:
+                    for rel in (f"*/tier=*/gen={run_id}",
+                                f"*/run={run_id}*"):
+                        for q in _g.glob(os.path.join(out_dir, rel)):
+                            try:
+                                newest = max(newest, os.path.getmtime(q))
+                                for root, _d, files in os.walk(q):
+                                    for f in files:
+                                        newest = max(newest, os.path.getmtime(
+                                            os.path.join(root, f)))
+                            except OSError:
+                                pass
+                if now - newest < min_age_sec:
                     continue
                 freed += os.path.getsize(rp)
                 os.remove(rp)
@@ -311,6 +332,12 @@ def run_vacuum_pass(
     in-flight pass's uncommitted output safe; Iceberg's remove_orphan_files
     ships the same contract). Orphans were never committed, so their
     removal is reported in the metrics dict, not in a snapshot row.
+    Pin baselines (_pins/*.json) additionally stay protected while ANY
+    artifact of their run_id is younger than the age — a pass outliving
+    orphan_min_age_sec keeps its pin as long as it keeps writing waves.
+    As with Iceberg, keep orphan_min_age_sec comfortably above the longest
+    expected pass runtime anyway: that is the only guard for a pass whose
+    run produces no filesystem activity at all for that long.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the current generation "

@@ -33,16 +33,19 @@ from spinterps_spark.plans.retention import read_tier_chunks, run_retention_pass
 from spinterps_spark.plans.vacuum import run_flatten_pass, run_vacuum_pass
 
 TIER = "1m"
+# the metric the fuzz's evolve op adds (schema evolution mid-life —
+# VERDICT r7 next-step #3: evolve interleaved with refresh/flatten/vacuum
+# is exactly the composition the pin machinery protects)
+MX = {"turn_rate": "CAST(turn_cnt AS DOUBLE)"}
 
 
 def _pts(spark, d):
-    return (
-        decode_tier_chunks(read_tier_chunks(spark, d, TIER))
-        .select("conv_id", "bucket_ts", "value")
-        .toPandas()
-        .sort_values(["conv_id", "bucket_ts"])
-        .reset_index(drop=True)
-    )
+    df = decode_tier_chunks(read_tier_chunks(spark, d, TIER))
+    cols = ["conv_id", "bucket_ts", "value"] + (
+        ["metric"] if "metric" in df.columns else [])
+    keys = [c for c in ("conv_id", "metric", "bucket_ts") if c in cols]
+    return (df.select(*cols).toPandas()
+            .sort_values(keys).reset_index(drop=True))
 
 
 @pytest.mark.parametrize("seed", [101, 202])
@@ -89,20 +92,50 @@ def test_random_maintenance_interleavings_preserve_the_view(
     run_retention_pipeline(spark, rest, d, tiers=(TIER,), n_waves=2,
                            gorilla=True, fuse_fill_and_chunks=True,
                            run_id="boot")
+    from spinterps_spark.plans.evolve import run_evolve_pass
+
+    # lazily-built evolved ground truths (one full pipeline with
+    # extras=MX per ingestion prefix, only for prefixes actually reached
+    # after the evolve op fires)
+    gt_ev_pts: dict[int, pd.DataFrame] = {}
+
+    def gt_evolved(i):
+        if i not in gt_ev_pts:
+            gdir = str(tmp_path / f"gtev{i}")
+            run_retention_pipeline(
+                spark, unions[i], gdir, tiers=(TIER,), n_waves=2,
+                gorilla=True, fuse_fill_and_chunks=True, run_id="gt",
+                extra_fill_metrics=MX)
+            gt_ev_pts[i] = _pts(spark, gdir)
+        return gt_ev_pts[i]
+
+    evolved = False
     ingested, step, trace = 0, 0, []
     ops = ["refresh", "compact", "flatten_rollup", "flatten_chunks",
-           "vacuum", "merge_ingest"]
-    while step < 8:
+           "vacuum", "merge_ingest", "evolve"]
+    while step < 9:
         op = rng.choice(ops)
-        if op == "refresh":
+        if op == "evolve" and evolved:
+            continue
+        if step == 3 and not evolved:
+            op = "evolve"  # guarantee the schema-evolution interleaving
+        if op == "evolve":
+            run_evolve_pass(spark, d, new_metrics=MX, tiers=(TIER,),
+                            n_waves=2, run_id=f"ev{step}")
+            evolved = True
+        elif op == "refresh":
             if ingested >= len(preds):
                 continue
             run_refresh_pass(spark, t.where(preds[ingested]), d,
                              tiers=(TIER,), n_waves=2,
-                             run_id=f"r{step}")
+                             run_id=f"r{step}",
+                             extra_fill_metrics=MX if evolved else None)
             ingested += 1
         elif op == "merge_ingest":
-            if ingested >= len(preds):
+            if ingested >= len(preds) or evolved:
+                # an evolved store only merges with evolved sources (the
+                # stamped-metric-set contract); the slice stores are not —
+                # mirror the documented "evolve the sources first" rule
                 continue
             nd = str(tmp_path / f"store_m{step}")
             run_merge_pass(spark, [d, slice_stores[ingested]], nd,
@@ -123,10 +156,12 @@ def test_random_maintenance_interleavings_preserve_the_view(
                             run_id=f"v{step}")
         trace.append(op)
         step += 1
+        want = gt_evolved(ingested) if evolved else gt_pts[ingested]
         pd.testing.assert_frame_equal(
-            _pts(spark, d), gt_pts[ingested], check_exact=True,
+            _pts(spark, d), want, check_exact=True,
             obj=f"after {trace}",
         )
+    assert "evolve" in trace
 
 
 def test_random_interleavings_with_retention_horizons(spark, tmp_path):
@@ -180,20 +215,54 @@ def test_random_interleavings_with_retention_horizons(spark, tmp_path):
     # monotone horizon ladder inside the data range, bucket-aligned
     ladder = [((bounds.mn + (bounds.mx - bounds.mn) * q // 100) // 60) * 60
               for q in (25, 40, 55)]
+    from spinterps_spark.plans.evolve import run_evolve_pass
+
+    gt_ev_pts: dict[int, pd.DataFrame] = {}
+
+    def gt_evolved(i):
+        if i not in gt_ev_pts:
+            gdir = str(tmp_path / f"gtev{i}")
+            run_retention_pipeline(
+                spark, unions[i], gdir, tiers=(TIER,), n_waves=2,
+                fill_method="IDW", gorilla=True, fuse_fill_and_chunks=True,
+                run_id="gt", extra_fill_metrics=MX)
+            gt_ev_pts[i] = _pts(spark, gdir)
+        return gt_ev_pts[i]
+
     hz_committed = None
     refresh_hz: dict[str, int | None] = {}
+    # evolve model: the new metric is backfilled with an EXACT trim at the
+    # horizon committed at evolve time (ev_default); a conv refreshed
+    # after the evolve re-encodes both metrics at the refresh-time horizon
+    evolved = False
+    ev_default: int | None = None
+    hz_m: dict[str, int | None] = {}
     ingested, step, trace = 0, 0, []
-    ops = ["refresh", "retain", "compact", "flatten_chunks", "vacuum"]
-    while step < 9:
+    ops = ["refresh", "retain", "compact", "flatten_chunks", "vacuum",
+           "evolve"]
+    while step < 10:
         op = rng.choice(ops)
-        if op == "refresh":
+        if op == "evolve" and evolved:
+            continue
+        if step == 4 and not evolved:
+            op = "evolve"  # guarantee the evolve x retention interleaving
+        if op == "evolve":
+            run_evolve_pass(spark, d, new_metrics=MX, tiers=(TIER,),
+                            n_waves=2, run_id=f"ev{step}")
+            evolved = True
+            ev_default = hz_committed
+            hz_m = {}
+        elif op == "refresh":
             if ingested >= len(slices):
                 continue
             run_refresh_pass(spark, slices[ingested], d, tiers=(TIER,),
                              n_waves=2, fill_method="IDW",
-                             run_id=f"r{step}")
+                             run_id=f"r{step}",
+                             extra_fill_metrics=MX if evolved else None)
             for c in slice_convs[ingested]:
                 refresh_hz[c] = hz_committed
+                if evolved:
+                    hz_m[c] = hz_committed
             ingested += 1
         elif op == "retain":
             if not ladder:
@@ -212,7 +281,7 @@ def test_random_interleavings_with_retention_horizons(spark, tmp_path):
         trace.append(op)
         step += 1
 
-        want = gt_pts[ingested].copy()
+        want = (gt_evolved(ingested) if evolved else gt_pts[ingested]).copy()
         ep = (pd.to_datetime(want["bucket_ts"]).astype("int64") // 10**9)
         keep = pd.Series(True, index=want.index)
         H = hz_committed
@@ -223,10 +292,23 @@ def test_random_interleavings_with_retention_horizons(spark, tmp_path):
             if hz_r is not None:
                 # per-conv trims compose with the global window rule
                 keep &= ~mask | (ep >= hz_r)
+        if evolved:
+            # the evolved metric's rows: exact trim at the horizon in
+            # effect when that conv's metric was last (re-)encoded —
+            # refresh-time horizon when refreshed after the evolve, the
+            # evolve-time horizon otherwise — composed with the window
+            # rule (already applied above)
+            is_m = want["metric"] == next(iter(MX))
+            for conv in want.loc[is_m, "conv_id"].unique():
+                hz = hz_m.get(conv, ev_default)
+                if hz is not None:
+                    mask = is_m & (want["conv_id"] == conv)
+                    keep &= ~mask | (ep >= hz)
         want = want[keep].reset_index(drop=True)
         pd.testing.assert_frame_equal(
             _pts(spark, d), want, check_exact=True, obj=f"after {trace}",
         )
+    assert "evolve" in trace
 
 
 def test_concurrent_refreshes_and_flatten_lose_nothing(spark, tmp_path):

@@ -393,3 +393,83 @@ def test_vacuum_and_compaction_delegate_when_iceberg(spark, tmp_path,
                                table_format=_Managed())
     assert m2["mode"] == "iceberg-rewrite-data-files"
     assert ("rewrite", 64) in calls
+
+
+# ---------------------------------------------------------------------------
+# no-hard-link filesystems (r8): os.link EPERM/ENOTSUP falls back to
+# create-exclusive with the same exactly-one-winner guarantee
+# ---------------------------------------------------------------------------
+
+def _linkless_commit_worker(loc, writer_id, n_commits, out_q):
+    import errno
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    os.link = no_link  # child process only (fork)
+    _commit_worker(loc, writer_id, n_commits, out_q)
+
+
+def test_commit_without_hard_links(tmp_path, monkeypatch):
+    """os.link raising EPERM (object-store mounts, some tmpfs) switches the
+    claim to O_CREAT|O_EXCL; commits, revalidation, and snapshot reads all
+    keep working."""
+    import errno
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.ENOTSUP, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    loc = str(tmp_path / "store")
+    fmt = TF.ParquetTierTables(None, loc)
+    c1 = fmt.commit_tier("1m", None, loc, {"run_id": "a", "stage": "s1"})
+    c2 = fmt.commit_tier("1m", None, loc, {"run_id": "b", "stage": "s2"})
+    snaps = fmt.snapshots()
+    assert [s["commit_id"] for s in snaps] == [c1, c2]
+    assert [n for n, _p in fmt._version_files()] == [1, 2]
+    # revalidation still raises on a superseding data commit
+    validate = TF.unchanged_tier_validator(fmt, "1m")
+    fmt.commit_tier("1m", None, loc, {"run_id": "c", "stage": "refresh:1m"})
+    with pytest.raises(TF.CommitConflictError):
+        fmt.commit_tier("1m", None, loc,
+                        {"run_id": "d", "stage": "flatten:1m"},
+                        validate=validate)
+    # unexpected errnos still propagate
+    def bad_link(src, dst, **kw):
+        raise OSError(errno.EIO, "disk error")
+
+    monkeypatch.setattr(os, "link", bad_link)
+    with pytest.raises(OSError, match="disk error"):
+        fmt.commit_tier("1m", None, loc, {"run_id": "e", "stage": "s3"})
+    # the failed attempt leaves no tmp litter
+    assert not [f for f in os.listdir(os.path.join(loc, "_snapshots.d"))
+                if f.startswith(".tmp-")]
+
+
+def test_concurrent_writers_without_hard_links(tmp_path):
+    """The 8-process x 10-commit race with os.link disabled in every child:
+    create-exclusive claims still admit exactly one winner per version."""
+    import multiprocessing as mp
+
+    loc = str(tmp_path / "store")
+    os.makedirs(loc)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_linkless_commit_worker, args=(loc, w, 10, q))
+        for w in range(8)
+    ]
+    for p in procs:
+        p.start()
+    expected = {}
+    for _ in procs:
+        w, ids = q.get(timeout=120)
+        expected[w] = ids
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    fmt = TF.ParquetTierTables(None, loc)
+    got = [s["commit_id"] for s in fmt.snapshots()]
+    assert len(got) == 80 and len(set(got)) == 80
+    assert sorted(got) == sorted(c for ids in expected.values() for c in ids)
+    assert [n for n, _p in fmt._version_files()] == list(range(1, 81))

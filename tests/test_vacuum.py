@@ -423,3 +423,39 @@ def test_flatten_midwave_resume_with_unchanged_chain_succeeds(spark, tmp_path):
     assert m["commit"] not in ("skipped", "noop")
     pd.testing.assert_frame_equal(_chunk_points(spark, d), want,
                                   check_exact=True)
+
+
+def test_orphan_sweep_keeps_live_pass_pin(tmp_path):
+    """ADVICE r7 #3: a pin older than orphan_min_age_sec must NOT be swept
+    while its run_id's generation dirs are still being written (a pass
+    outliving the age window) — deleting it would let a crash+resume
+    re-capture the baseline and absorb concurrent commits."""
+    import time as _time
+
+    from spinterps_spark.plans.vacuum import _sweep_orphans
+
+    out = str(tmp_path / "store")
+    os.makedirs(os.path.join(out, "_pins"))
+    pin = os.path.join(out, "_pins", "merge-run77.json")
+    with open(pin, "w") as f:
+        f.write("{}")
+    old = _time.time() - 3600
+    os.utime(pin, (old, old))
+
+    # live pass: a young wave file under gen=run77
+    gen = os.path.join(out, "rollup_merge", "tier=1m", "gen=run77")
+    os.makedirs(gen)
+    with open(os.path.join(gen, "wave=0.parquet"), "w") as f:
+        f.write("x")
+
+    res = _sweep_orphans(out, {"rollup": [], "chunks": []}, min_age_sec=600)
+    assert os.path.exists(pin), "live pass's pin must survive the sweep"
+    # the young gen dir is also kept by the age guard
+    assert os.path.isdir(gen)
+
+    # once every run artifact is old, the pin is a true orphan and goes
+    os.utime(gen, (old, old))
+    os.utime(os.path.join(gen, "wave=0.parquet"), (old, old))
+    res = _sweep_orphans(out, {"rollup": [], "chunks": []}, min_age_sec=600)
+    assert not os.path.exists(pin)
+    assert res["n_removed"] >= 1

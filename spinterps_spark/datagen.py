@@ -146,10 +146,23 @@ def transcripts_spark(spark, seed: int = 42, n_turns_target: int = 10_000, parts
     sizes_b = spark.sparkContext.broadcast(sizes)
 
     def gen(batches):
+        # accumulate ~64k rows per yielded frame: one pandas frame per
+        # conversation made every yield its own Arrow batch — tens of
+        # thousands of tiny record batches per task paid serializer
+        # overhead per conv (guide 4.2 batch sizing). Row content and
+        # order are byte-identical (same conv sequence, same rows).
         for pdf in batches:
             szs = sizes_b.value
+            buf, nbuf = [], 0
             for i in pdf["id"].to_numpy():
-                yield conv_turns(seed, int(i), int(szs[int(i)]))
+                f = conv_turns(seed, int(i), int(szs[int(i)]))
+                buf.append(f)
+                nbuf += len(f)
+                if nbuf >= 65536:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, nbuf = [], 0
+            if buf:
+                yield pd.concat(buf, ignore_index=True)
 
     # Round-robin conv ids across partitions so the large (low-index) convs
     # don't all land in one task.

@@ -83,8 +83,14 @@ def fill_series(
     nan_llm: float | None = None,
     nan_ulm: float | None = None,
     pinv_cache: dict | None = None,
+    want_codes: bool = True,
 ):
     """Fill NaNs of v (float64) at times t (int64 seconds, sorted asc).
+
+    want_codes=False skips materializing the per-row method-code object
+    array (the fused chunk path discards it — building n Python-string
+    cells per call was pure overhead there); the clamp/round mask is the
+    miss mask either way, and the third return value is None.
 
     nan_llm/nan_ulm (P5, reference utils/lmt_and_infil_nc.py:459-502):
     observations OUTSIDE [nan_llm, nan_ulm] are nulled to gaps and refilled
@@ -121,7 +127,7 @@ def fill_series(
     n = len(t)
     out = v.copy()
     est_var = np.zeros(n, dtype=np.float64)
-    codes = np.array([M_OBSERVED] * n, dtype=object)
+    codes = np.full(n, M_OBSERVED, dtype=object) if want_codes else None
 
     miss = np.isnan(v)
     if not miss.any():
@@ -129,7 +135,8 @@ def fill_series(
     ref_idx = np.flatnonzero(~miss)
     gap_idx = np.flatnonzero(miss)
     if len(ref_idx) == 0:
-        codes[gap_idx] = M_EMPTY
+        if codes is not None:
+            codes[gap_idx] = M_EMPTY
         return out, est_var, codes
 
     t_ref = t[ref_idx]
@@ -175,19 +182,22 @@ def fill_series(
 
     if k == 1:
         out[gap_idx] = zs[:, 0]
-        codes[gap_idx] = M_SINGLE
+        if codes is not None:
+            codes[gap_idx] = M_SINGLE
         rest = np.zeros(n_gap, dtype=bool)
     else:
         lowsig = zmax < min_var_val_thresh
         out[gap_idx[lowsig]] = zmean[lowsig]
-        codes[gap_idx[lowsig]] = M_LOWSIG
+        if codes is not None:
+            codes[gap_idx[lowsig]] = M_LOWSIG
         rest = ~lowsig
 
     if rest.any():
         g_rows = np.flatnonzero(rest)
         if method == "NNB":
             out[gap_idx[g_rows]] = nearest[g_rows]
-            codes[gap_idx[g_rows]] = M_NNB
+            if codes is not None:
+                codes[gap_idx[g_rows]] = M_NNB
 
         elif method == "IDW":
             d = dists[g_rows]
@@ -197,7 +207,8 @@ def fill_series(
             wts_sum = wts.sum(axis=1)
             assert (wts_sum >= 1e-14).all(), wts_sum.min()
             out[gap_idx[g_rows]] = (wts * zs[g_rows]).sum(axis=1) / wts_sum
-            codes[gap_idx[g_rows]] = M_IDW
+            if codes is not None:
+                codes[gap_idx[g_rows]] = M_IDW
 
         elif method in ("OK", "SK", "EDK", "IK"):
             kr_rows = g_rows
@@ -210,11 +221,13 @@ def fill_series(
                 is_nug = np.array([nug_by_vg[s] for s in vg_gap[g_rows]])
                 nug_rows = g_rows[is_nug]
                 out[gap_idx[nug_rows]] = zmean[nug_rows]
-                codes[gap_idx[nug_rows]] = M_NUGGET
+                if codes is not None:
+                    codes[gap_idx[nug_rows]] = M_NUGGET
                 kr_rows = g_rows[~is_nug]
             if nuggety:
                 out[gap_idx[g_rows]] = zmean[g_rows]
-                codes[gap_idx[g_rows]] = M_NUGGET
+                if codes is not None:
+                    codes[gap_idx[g_rows]] = M_NUGGET
             elif len(kr_rows):
                 drift_ref = drift_gap = None
                 if method == "EDK":
@@ -247,7 +260,9 @@ def fill_series(
 
     # P4 clamp, then round(p) pre-write — observed values untouched,
     # matching the reference which clamps/rounds the interpolated field only.
-    filled = codes != M_OBSERVED
+    # (every miss row received a code above, so miss IS the filled mask —
+    # no object-array comparison needed)
+    filled = miss
     if min_cut is not None:
         out[filled & (out < min_cut)] = min_cut
     if max_cut is not None:
@@ -347,7 +362,8 @@ def _fill_krige(
             # K5: singular system -> NNB fallback
             out[gap_idx[rows_arr]] = nearest[rows_arr]
             est_var[gap_idx[rows_arr]] = 0.0
-            codes[gap_idx[rows_arr]] = M_NNB_FALLBACK
+            if codes is not None:
+                codes[gap_idx[rows_arr]] = M_NNB_FALLBACK
             continue
         # batched gamma over the whole group's distance block
         gam = vg_vals(vg_str, dists[rows_arr].ravel()).reshape(len(rows), kk)
@@ -359,7 +375,8 @@ def _fill_krige(
                 lmds = inv @ rhs
                 out[j] = (lmds * zs[r]).sum()
                 est_var[j] = max(0.0, total_sill - (lmds * rhs).sum())
-                codes[j] = M_OK
+                if codes is not None:
+                    codes[j] = M_OK
                 continue
             if method == "EDK":
                 rhs = np.zeros(kk + 1 + n_drift, dtype=np.float64)
@@ -374,20 +391,24 @@ def _fill_krige(
             if not np.isclose(lmds[:kk].sum(), 1.0):
                 out[j] = nearest[r]
                 est_var[j] = 0.0
-                codes[j] = M_NNB_FALLBACK
+                if codes is not None:
+                    codes[j] = M_NNB_FALLBACK
             elif method == "IK":
                 ik = max(0.0, (lmds[:kk] * ix[r]).sum())
                 out[j] = ik
                 est_var[j] = max(0.0, ik * (1.0 - ik))
-                codes[j] = M_OK
+                if codes is not None:
+                    codes[j] = M_OK
             elif method == "EDK":
                 out[j] = (lmds[:kk] * zs[r]).sum()
                 est_var[j] = 0.0
-                codes[j] = M_OK
+                if codes is not None:
+                    codes[j] = M_OK
             else:
                 out[j] = (lmds[:kk] * zs[r]).sum()
                 est_var[j] = max(0.0, (lmds[:kk] * rhs[:kk]).sum() + lmds[kk])
-                codes[j] = M_OK
+                if codes is not None:
+                    codes[j] = M_OK
 
 
 def _nan_lims_col(v, params: dict):
@@ -503,7 +524,10 @@ def gapfill(
         span = chunk_buckets * secs
         k = params["n_neighbors"]
         w = W.partitionBy("conv_id").orderBy("_t")
-        b = W.partitionBy("conv_id")
+        # same ordered spec with an unbounded frame (not a second
+        # unordered Window spec): identical values, but CollapseWindow can
+        # fuse the bounds into the lag/lead Window pass (guide 2.4)
+        b = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         # edge fallback spans the conversation's FULL row range (computed
         # before the ref/gap split), so gaps in chunks beyond the first/last
         # ref still receive the nearest refs instead of going unfillable
@@ -786,8 +810,12 @@ def gapfill_virtual_chunks(
         # materialized path's with_drift performs
         df = df.join(dsel, ["conv_id", "_t"], "left")
 
+    # one Window node, one sort: the conv bounds use the SAME ordered spec
+    # as lag/lead with an unbounded frame (identical values to the
+    # unordered spec), so CollapseWindow fuses all four functions instead
+    # of planning a second Window pass + second sort (guide 2.4)
     w = W.partitionBy("conv_id").orderBy("_t")
-    bounds_w = W.partitionBy("conv_id")
+    bounds_w = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     df = df.select(
         "*",
         F.min("_t").over(bounds_w).alias("_first"),
@@ -834,6 +862,9 @@ def gapfill_virtual_chunks(
         ik_lim=params.get("ik_lim", 1.0),
         nan_llm=params.get("nan_llm"),
         nan_ulm=params.get("nan_ulm"),
+        # the fused path never emits method codes — skip building the
+        # per-row object array inside the kernel (pure overhead here)
+        want_codes=False,
     )
 
     def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:

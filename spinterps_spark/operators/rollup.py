@@ -47,11 +47,58 @@ def base_rollup(
     min_cnt: int | None = None,
     shift_seconds: int = 0,
 ) -> DataFrame:
-    """Raw turns -> base-tier aggregates via salted two-phase aggregation.
+    """Raw turns -> base-tier aggregates, one hash aggregation.
 
     Output: (conv_id, bucket_ts, turn_cnt, tok_len_sum, tool_call_cnt,
     role_user_cnt, role_assistant_cnt, role_tool_cnt, valid)
+
+    r8 (guide 2.3/2.4): the r1-r7 explicit (conv, bucket, salt) two-phase
+    aggregation duplicated what Spark's HashAggregate already does — the
+    partial-mode aggregate runs map-side and emits at most ONE combined
+    row per key per map task, so a mega-conversation's hot bucket reaches
+    its reducer as <= n_map_tasks partial rows regardless of scale. The
+    explicit salt bought the same bound at the price of a SECOND full
+    exchange (shuffling up to n_salt x the final row count). One groupBy
+    = one exchange, bit-identical output (every metric is an exact-
+    compose sum/count; tests/test_rollup.py keeps the salted path as the
+    equality witness). n_salt is retained in the signature for caller
+    compatibility; it no longer shapes the plan.
     """
+    del n_salt  # superseded by map-side partial aggregation (see above)
+    if min_cnt is None:
+        min_cnt = DEFAULT_MIN_CNT[tier]
+
+    t = transcripts
+    enriched = t.select(
+        "conv_id",
+        bucket_ts_col(F.col("ts"), tier, shift_seconds).alias("bucket_ts"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_tok_len"),
+        F.col("tool").isNotNull().cast("long").alias("_is_tool_call"),
+        (F.col("role") == "user").cast("long").alias("_is_user"),
+        (F.col("role") == "assistant").cast("long").alias("_is_assistant"),
+        (F.col("role") == "tool").cast("long").alias("_is_tool"),
+    )
+    out = enriched.groupBy("conv_id", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.sum("_tok_len").alias("tok_len_sum"),
+        F.sum("_is_tool_call").alias("tool_call_cnt"),
+        F.sum("_is_user").alias("role_user_cnt"),
+        F.sum("_is_assistant").alias("role_assistant_cnt"),
+        F.sum("_is_tool").alias("role_tool_cnt"),
+    )
+    return out.withColumn("valid", F.col("turn_cnt") >= F.lit(min_cnt))
+
+
+def salted_two_phase_rollup(
+    transcripts: DataFrame,
+    tier: str = "1m",
+    n_salt: int = 16,
+    min_cnt: int | None = None,
+    shift_seconds: int = 0,
+) -> DataFrame:
+    """The r1-r7 explicit salted two-phase aggregation, kept as the
+    equality witness for base_rollup (SURVEY.md §5.2 invariant: salted
+    two-phase agg equals unsalted — all metrics compose exactly)."""
     if min_cnt is None:
         min_cnt = DEFAULT_MIN_CNT[tier]
 
@@ -66,9 +113,6 @@ def base_rollup(
         (F.col("role") == "assistant").cast("long").alias("_is_assistant"),
         (F.col("role") == "tool").cast("long").alias("_is_tool"),
     )
-
-    # phase 1: partial aggregate per (conv, bucket, salt) — map-side combine
-    # plus salt splits mega-conversation hot buckets across reducers.
     phase1 = enriched.groupBy("conv_id", "bucket_ts", "_salt").agg(
         F.count(F.lit(1)).alias("turn_cnt"),
         F.sum("_tok_len").alias("tok_len_sum"),
@@ -77,12 +121,9 @@ def base_rollup(
         F.sum("_is_assistant").alias("role_assistant_cnt"),
         F.sum("_is_tool").alias("role_tool_cnt"),
     )
-
-    # phase 2: merge partials (exact — all metrics are sums/counts).
     phase2 = phase1.groupBy("conv_id", "bucket_ts").agg(
         *[F.sum(c).alias(c) for c in METRIC_COLS]
     )
-
     return phase2.withColumn("valid", F.col("turn_cnt") >= F.lit(min_cnt))
 
 

@@ -274,19 +274,21 @@ def _ivf_lit_sims(emb_col_expr, cents_rows):
     cosine query uses)."""
     import math
 
-    sims = []
-    for r in cents_rows:
-        ce = [float(x) for x in r["c_emb"]]
-        c_lit = F.array(*[F.lit(x) for x in ce])
-        c_norm = math.sqrt(sum(x * x for x in ce))
-        sims.append(
-            F.round(
-                _dot(emb_col_expr, c_lit)
-                / (_norm(emb_col_expr) * F.lit(c_norm)),
-                4,
-            )
-        )
-    return F.array(*sims)
+    cents = [[float(x) for x in r["c_emb"]] for r in cents_rows]
+    norms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+    # r8: ONE array<array<double>> literal + one zip_with instead of
+    # n_lists separate dot/norm expression trees (16 x 64-dim centroids
+    # built a ~3,500-node tree whose Catalyst analysis cost ~4 s of
+    # DRIVER time per query build — guide 7.3 'planning a huge query').
+    # Same per-element arithmetic, same left-to-right fold, same round —
+    # the sims array is bit-identical.
+    c_arr = F.lit(cents)
+    n_arr = F.lit(norms)
+    return F.zip_with(
+        c_arr, n_arr,
+        lambda c, nn: F.round(
+            _dot(emb_col_expr, c) / (_norm(emb_col_expr) * nn), 4),
+    )
 
 
 def cosine_topk_ivf(

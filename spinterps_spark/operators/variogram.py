@@ -79,12 +79,30 @@ def empirical_variogram(
     # so a qualifying pair (0 < b.t - a.t <= max_lag) matches exactly once
     # and a mega-conversation with B buckets costs O(B * rows_per_horizon)
     # comparisons spread over B join keys — never O(B^2) in one task.
+    #
+    # r8 (guide 2.4): BOTH sides take the identical exploded projection
+    # (own bucket + next), so the two join inputs canonicalize to the SAME
+    # subplan and ReuseExchange serves the right side from the left side's
+    # shuffle — the r1-r7 asymmetric shape recomputed the ENTIRE series
+    # lineage (rollup included) once per side. With both sides exploded, a
+    # qualifying pair would match in 1 or 2 buckets; requiring the match
+    # bucket to equal greatest(a own, b own) keeps exactly one match (the
+    # two-sided expression cannot be pushed below either exchange, which
+    # would break the symmetry). Pair multiset is unchanged.
     hb = F.floor(F.col("t") / F.lit(float(max_lag)))
-    a = s.withColumn("_hb", F.explode(F.array(hb, hb + 1))).alias("a")
-    b = s.withColumn("_hb", hb).alias("b")
+    sym = s.withColumn("_hb0", hb).withColumn(
+        "_hb", F.explode(F.array(hb, hb + 1)))
+    a = sym.alias("a")
+    b = sym.alias("b")
     cond = (
         (F.col("a.conv_id") == F.col("b.conv_id"))
+        # vacuously true (coords is one row per conv), but it makes BOTH
+        # sides reference cluster_id, so column pruning keeps the two
+        # join inputs byte-identical — a one-sided reference would give
+        # the b side a narrower projection and defeat the exchange reuse
+        & (F.col("a.cluster_id") == F.col("b.cluster_id"))
         & (F.col("a._hb") == F.col("b._hb"))
+        & (F.col("a._hb") == F.greatest(F.col("a._hb0"), F.col("b._hb0")))
         & (F.col("a.t") < F.col("b.t"))
         & (F.col("b.t") - F.col("a.t") <= max_lag)
     )
@@ -160,14 +178,19 @@ def auto_lag_width(
     # strict h < max_lag: otherwise the exact-max_lag pairs form a sliver
     # bin past [0, max_lag) that corrupts both the bin count and the
     # min-pairs check. Horizon-bucket membership bounds the per-key pair
-    # width exactly as in empirical_variogram (VERDICT r2 #1).
+    # width exactly as in empirical_variogram (VERDICT r2 #1); the r8
+    # symmetric-explode + greatest-bucket dedup shape (see there) lets
+    # ReuseExchange serve the right side from the left side's shuffle.
     hb = F.floor(F.col("t") / F.lit(float(max_lag)))
-    a = s.withColumn("_hb", F.explode(F.array(hb, hb + 1))).alias("a")
-    b = s.withColumn("_hb", hb).alias("b")
+    sym = s.withColumn("_hb0", hb).withColumn(
+        "_hb", F.explode(F.array(hb, hb + 1)))
+    a = sym.alias("a")
+    b = sym.alias("b")
     pairs = a.join(
         b,
         (F.col("a.conv_id") == F.col("b.conv_id"))
         & (F.col("a._hb") == F.col("b._hb"))
+        & (F.col("a._hb") == F.greatest(F.col("a._hb0"), F.col("b._hb0")))
         & (F.col("a.t") < F.col("b.t"))
         & (F.col("b.t") - F.col("a.t") < max_lag),
     ).select((F.col("b.t") - F.col("a.t")).cast("double").alias("h"))

@@ -55,6 +55,22 @@ def _utc(spark: SparkSession):
     return spark
 
 
+def _spread(df: DataFrame, mult: int = 1) -> DataFrame:
+    """Round-robin repartition of an under-partitioned input (guide 2.5
+    'input skew'): the documents/embeddings/coords tables are sub-MB
+    single parquet files, so their scans plan as ONE partition and every
+    downstream per-row compute (md5 shingles, dot products, pair probes of
+    a broadcast join) runs on one core no matter how many the session has.
+    No-op when the input already has enough partitions (a large table at
+    scale keeps its layout — this never SHRINKS parallelism). Row-identical
+    output: every consumer is either row-level or an order-insensitive
+    aggregate/window with deterministic keys."""
+    dp = df.sparkSession.sparkContext.defaultParallelism * mult
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp)
+
+
 def _t(spark, sf_dir):
     return fixtures.load_transcripts(_utc(spark), sf_dir)
 
@@ -590,9 +606,12 @@ def q_evg_binned(spark, sf_dir) -> DataFrame:
     decimal-sum aggregate is order-insensitive, so output is identical."""
     c = fixtures.load_coords(_utc(spark), sf_dir)
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(EVG_SALT))
-    a = c.withColumn(
+    # the probe side of the broadcast join inherits the coords file's ONE
+    # scan partition — without a spread, all ~n^2/clusters pair emissions
+    # run on a single core (guide 2.5 input skew)
+    a = _spread(c.withColumn(
         "_peer", F.explode(F.array(*[F.lit(i) for i in range(EVG_SALT)]))
-    ).alias("a")
+    )).alias("a")
     b = c.withColumn("_salt", salt.cast("int")).alias("b")
     j = a.join(
         b,
@@ -733,7 +752,7 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
     of the first 8 tokens."""
     from spinterps_spark.functions.langid import lang_pred_col
 
-    d = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    d = _spread(_utc(spark).read.parquet(f"{sf_dir}/documents.parquet"))
     toks = F.split("text", " ")
     n_tok = F.size(toks)
     sw = F.size(
@@ -1134,7 +1153,7 @@ def q_minhash_bands(spark, sf_dir) -> DataFrame:
     crossJoin band amplification."""
     from spinterps_spark.operators import dedup as D
 
-    d = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    d = _spread(_utc(spark).read.parquet(f"{sf_dir}/documents.parquet"))
     return D.minhash_signatures(d, n_bands=N_BANDS)
 
 
@@ -1291,7 +1310,7 @@ FROM walk GROUP BY 1
 def q_cosine_topk(spark, sf_dir) -> DataFrame:
     """Brute-force cosine top-3 ANN baseline over the embeddings table
     (queries: vec_id < 5), JVM-side dot product via aggregate/zip_with."""
-    e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _spread(_utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet"))
     e = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
@@ -2562,7 +2581,7 @@ def q_ivf_cosine_topk(spark, sf_dir) -> DataFrame:
 
     p = IVF_P
     cents = pd.read_parquet(ivf_model_path(sf_dir)).sort_values("list_id")
-    e = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _spread(_utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet"))
     q = e.where(F.col("vec_id") < p["n_q"]).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -2804,7 +2823,7 @@ def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     the DuckDB twin reproduces every fingerprint bit-for-bit."""
     from spinterps_spark.operators import dedup as D
 
-    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(_utc(spark).read.parquet(f"{sf_dir}/documents.parquet"))
     return D.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
 
@@ -2913,7 +2932,7 @@ def q_winnow_dedup(spark, sf_dir) -> DataFrame:
     """
     from spinterps_spark.operators import dedup as D
 
-    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(_utc(spark).read.parquet(f"{sf_dir}/documents.parquet"))
     # materialize the fingerprint table ONCE: both the 'fp' branch and the
     # candidate generator consume it (localCheckpoint, or the gram/window
     # pipeline would execute twice — once per union branch)

@@ -38,8 +38,15 @@ def main():
 
     from spinterps_spark.sources import fixtures
     tr = fixtures.load_transcripts(spark, sf)
+    # r8: ONE exchange — Spark's HashAggregate partial mode is the map-side
+    # combine the r1-r7 explicit salt duplicated (guide 2.3/2.4); assert the
+    # salt column is gone from the plan entirely.
     p2 = plan_of(R.base_rollup(tr, "1m", n_salt=16))
-    sections.append(("Salted two-phase rollup (partial agg -> salt shuffle -> merge)", p2,
+    assert "_salt" not in p2, "base_rollup must not salt (r8 single-phase)"
+    assert p2.count("Exchange hashpartitioning") == 1, \
+        "base_rollup must shuffle exactly once"
+    sections.append(("Base rollup (r8: single hash aggregation — map-side "
+                     "partial agg, ONE exchange)", p2,
                      ["HashAggregate", "Exchange", "AdaptiveSparkPlan"]))
 
     coords = fixtures.load_coords(spark, sf)

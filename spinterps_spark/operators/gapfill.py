@@ -161,19 +161,28 @@ def fill_series(
     k = min(n_neighbors, n_ref)
 
     # ---- vectorized k-nearest selection over the sorted ref timeline:
-    # the k nearest refs to any target lie within the 2k refs bracketing its
-    # insertion point, so a windowed candidate block replaces a full argsort
-    # per gap (O(G*k log k) total instead of O(G*R log R)). Stable ordering
-    # inside the window preserves the earlier-ref tie-break (equidistant
-    # refs around a gap on a regular bucket grid), matching the oracle.
-    w_len = min(2 * k, n_ref)
+    # two-pointer merge outward from each gap's insertion point (r8; was a
+    # stable argsort over the 2k-wide bracketing window). The merge emits
+    # neighbors in ascending distance with the tie going LEFT (the earlier
+    # ref) — exactly the order the stable window argsort produced
+    # (equidistant candidates can only be one left/right pair, and the
+    # left one had the smaller window position), so nb/dists/zs are
+    # bit-identical (500-case fuzz equality incl. symmetric-tie grids).
+    # O(G*k) with no (G, 2k) temporaries instead of O(G*k log k).
     pos = np.searchsorted(t_ref, t_gap)
-    start = np.clip(pos - k, 0, n_ref - w_len)
-    cand = start[:, None] + np.arange(w_len)[None, :]          # (G, w)
-    d_cand = np.abs(t_ref[cand] - t_gap[:, None])              # (G, w)
-    sel = np.argsort(d_cand, axis=1, kind="stable")[:, :k]     # (G, k)
-    nb = np.take_along_axis(cand, sel, axis=1)                 # ref indices
-    dists = np.take_along_axis(d_cand, sel, axis=1)            # (G, k)
+    lp = pos - 1
+    rp = pos.copy()
+    nb = np.empty((n_gap, k), dtype=np.int64)
+    dists = np.empty((n_gap, k), dtype=np.float64)
+    for j in range(k):
+        dl = np.where(lp >= 0, t_gap - t_ref[np.maximum(lp, 0)], np.inf)
+        dr = np.where(rp < n_ref, t_ref[np.minimum(rp, n_ref - 1)] - t_gap,
+                      np.inf)
+        left = dl <= dr
+        nb[:, j] = np.where(left, lp, rp)
+        dists[:, j] = np.where(left, dl, dr)
+        lp -= left
+        rp += ~left
     zs = v_ref[nb]                                             # (G, k)
 
     zmax = zs.max(axis=1)

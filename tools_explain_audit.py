@@ -41,9 +41,11 @@ def main():
     # r8: ONE exchange — Spark's HashAggregate partial mode is the map-side
     # combine the r1-r7 explicit salt duplicated (guide 2.3/2.4); assert the
     # salt column is gone from the plan entirely.
+    import re as _re
+
     p2 = plan_of(R.base_rollup(tr, "1m", n_salt=16))
     assert "_salt" not in p2, "base_rollup must not salt (r8 single-phase)"
-    assert p2.count("Exchange hashpartitioning") == 1, \
+    assert len(_re.findall(r"^\(\d+\) Exchange$", p2, _re.M)) == 1, \
         "base_rollup must shuffle exactly once"
     sections.append(("Base rollup (r8: single hash aggregation — map-side "
                      "partial agg, ONE exchange)", p2,

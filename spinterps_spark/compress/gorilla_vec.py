@@ -215,6 +215,26 @@ def decode_ts_many(first_ts: np.ndarray, streams: list,
 
 # ---------------------------------------------------------------- encode
 
+def _insert_plan(ins: np.ndarray, n: int):
+    """(inserted-slot positions, base-element mask) for inserting len(ins)
+    elements into an n-element array at sorted original positions `ins` —
+    the exact index arithmetic np.insert performs (sorted obj: out slot of
+    insert j is ins[j]+j; duplicates keep given order), without np.insert's
+    per-call mask rebuild for every array sharing the same positions."""
+    m = len(ins)
+    ipos = ins + np.arange(m)
+    bmask = np.ones(n + m, dtype=bool)
+    bmask[ipos] = False
+    return ipos, bmask
+
+
+def _insert_many(base: np.ndarray, ipos, bmask, vals) -> np.ndarray:
+    out = np.empty(len(bmask), dtype=base.dtype)
+    out[ipos] = vals
+    out[bmask] = base
+    return out
+
+
 def _pack_pairs(vals, bits, lane_of_pair, C):
     """Pack lane-major (value, nbits<=64) pairs into per-lane byte streams,
     bit-identical to BitWriter (each lane zero-padded to a byte boundary).
@@ -223,8 +243,9 @@ def _pack_pairs(vals, bits, lane_of_pair, C):
                             ).astype(np.int64)
     pad = (-lane_bits) % 8
     ins = np.searchsorted(lane_of_pair, np.arange(C), side="right")
-    v = np.insert(vals, ins, np.zeros(C, dtype=np.uint64))
-    nb = np.insert(bits, ins, pad)
+    ipos, bmask = _insert_plan(ins, len(vals))
+    v = _insert_many(vals, ipos, bmask, np.zeros(C, dtype=np.uint64))
+    nb = _insert_many(bits, ipos, bmask, pad)
     total = int(lane_bits.sum() + pad.sum())
     if total == 0:
         return [b""] * C
@@ -301,14 +322,16 @@ def _assemble(pairAv, pairAb, pairBv, pairBb, gap, lane_of_nz,
     trip_b[2::3] = pairBb
     trip_lane = np.repeat(lane_of_nz, 3)
     ins_tail = np.searchsorted(trip_lane, np.arange(C), side="right")
-    v1 = np.insert(trip_v, ins_tail, np.zeros(C, dtype=np.uint64))
-    b1 = np.insert(trip_b, ins_tail, tail)
-    l1 = np.insert(trip_lane, ins_tail, np.arange(C))
+    ipos, bmask = _insert_plan(ins_tail, len(trip_v))
+    v1 = _insert_many(trip_v, ipos, bmask, np.zeros(C, dtype=np.uint64))
+    b1 = _insert_many(trip_b, ipos, bmask, tail)
+    l1 = _insert_many(trip_lane, ipos, bmask, np.arange(C))
     if len(head_lane):
         ins_head = np.searchsorted(l1, head_lane, side="left")
-        v1 = np.insert(v1, ins_head, head_v)
-        b1 = np.insert(b1, ins_head, head_b)
-        l1 = np.insert(l1, ins_head, head_lane)
+        ipos, bmask = _insert_plan(ins_head, len(v1))
+        v1 = _insert_many(v1, ipos, bmask, head_v)
+        b1 = _insert_many(b1, ipos, bmask, head_b)
+        l1 = _insert_many(l1, ipos, bmask, head_lane)
     return v1, b1, l1
 
 

@@ -186,8 +186,16 @@ def fill_series(
     zs = v_ref[nb]                                             # (G, k)
 
     zmax = zs.max(axis=1)
-    zmean = zs.mean(axis=1)
-    nearest = zs[np.arange(n_gap), np.argmin(dists, axis=1)]
+    # nearest-ref values are consumed only by the NNB branch and the kriging
+    # fallback ladder; IDW never reads them, so skip the argmin + fancy
+    # gather there (measured ~8% of the fused kernel's fill time, r8).
+    # Neighbor means are likewise computed on just the rows that take a
+    # mean fill (low-signal / nugget) — a per-row mean over the same k
+    # elements rounds identically whether or not the other rows computed it.
+    nearest = (
+        zs[np.arange(n_gap), np.argmin(dists, axis=1)]
+        if (method == "NNB" or kriging) else None
+    )
 
     if k == 1:
         out[gap_idx] = zs[:, 0]
@@ -196,9 +204,10 @@ def fill_series(
         rest = np.zeros(n_gap, dtype=bool)
     else:
         lowsig = zmax < min_var_val_thresh
-        out[gap_idx[lowsig]] = zmean[lowsig]
-        if codes is not None:
-            codes[gap_idx[lowsig]] = M_LOWSIG
+        if lowsig.any():
+            out[gap_idx[lowsig]] = zs[lowsig].mean(axis=1)
+            if codes is not None:
+                codes[gap_idx[lowsig]] = M_LOWSIG
         rest = ~lowsig
 
     if rest.any():
@@ -229,12 +238,12 @@ def fill_series(
                 }
                 is_nug = np.array([nug_by_vg[s] for s in vg_gap[g_rows]])
                 nug_rows = g_rows[is_nug]
-                out[gap_idx[nug_rows]] = zmean[nug_rows]
+                out[gap_idx[nug_rows]] = zs[nug_rows].mean(axis=1)
                 if codes is not None:
                     codes[gap_idx[nug_rows]] = M_NUGGET
                 kr_rows = g_rows[~is_nug]
             if nuggety:
-                out[gap_idx[g_rows]] = zmean[g_rows]
+                out[gap_idx[g_rows]] = zs[g_rows].mean(axis=1)
                 if codes is not None:
                     codes[gap_idx[g_rows]] = M_NUGGET
             elif len(kr_rows):
@@ -875,6 +884,14 @@ def gapfill_virtual_chunks(
         # per-row object array inside the kernel (pure overhead here)
         want_codes=False,
     )
+    # NOTE r8 negative result, recorded so it is not retried: batching the
+    # IDW fill across all groups of a batch (one vectorized pass instead of
+    # one fill_series call per (conv, chunk) group) is bit-exactly possible
+    # — equal-k cohorts preserve every reduce shape — but measured SLOWER
+    # end to end (interleaved min 75 s vs 59 s on the sf0.1 kernel input):
+    # the per-group arrays (~600 rows) are cache-resident, so the numpy
+    # dispatch overhead the batching removes comes back as DRAM streaming
+    # over (M, k) matrices plus per-batch allocation churn. Keep per-group.
 
     def fill_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         _vcache: dict = {}  # cross-conversation pinv reuse within the batch

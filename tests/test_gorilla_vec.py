@@ -126,3 +126,27 @@ def test_hypothesis_style_roundtrip_random():
         assert np.array_equal(dt, ts)
         assert np.array_equal(dv.view(np.uint64),
                               np.asarray(vals).view(np.uint64))
+
+
+def test_insert_plan_matches_np_insert():
+    """r8: _pack_pairs/_assemble replaced np.insert with a shared-position
+    scatter (_insert_plan/_insert_many); the index arithmetic must match
+    np.insert exactly for sorted positions incl. duplicates and edges."""
+    from spinterps_spark.compress.gorilla_vec import _insert_plan, _insert_many
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        n = int(rng.integers(0, 50))
+        m = int(rng.integers(0, 20))
+        base = rng.integers(0, 1000, n).astype(np.uint64)
+        ins = np.sort(rng.integers(0, n + 1, m))
+        vals = rng.integers(0, 1000, m).astype(np.uint64)
+        ipos, bmask = _insert_plan(ins, n)
+        got = _insert_many(base, ipos, bmask, vals)
+        want = np.insert(base, ins, vals)
+        assert np.array_equal(got, want), (base, ins, vals)
+        # a second array sharing the same plan (the production pattern)
+        base2 = rng.standard_normal(n)
+        vals2 = rng.standard_normal(m)
+        got2 = _insert_many(base2, ipos, bmask, vals2)
+        assert np.array_equal(got2, np.insert(base2, ins, vals2))

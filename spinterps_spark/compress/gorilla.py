@@ -400,14 +400,25 @@ def decode_tier_chunks(chunks):
             vals = decode_vals_many(
                 pdf["first_val"].to_numpy(np.float64),
                 list(pdf["vals_xor"]), ns)
+            # label columns go out dictionary-encoded: repeating integer
+            # codes and letting Arrow carry a per-batch dictionary is ~2.4x
+            # cheaper at the Arrow boundary than materializing per-point
+            # python strings (r8); Spark reads a dictionary<string> column
+            # as the declared string type, values identical
+            rep = np.repeat(np.arange(len(pdf)), ns)
+
+            def dic(col):
+                codes, uniq = pd.factorize(pdf[col])
+                return pd.Categorical.from_codes(codes[rep], categories=uniq)
+
             out = {
-                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
-                "tier": np.repeat(pdf["tier"].to_numpy(), ns),
+                "conv_id": dic("conv_id"),
+                "tier": dic("tier"),
                 "bucket_ts": pd.to_datetime(ts, unit="s"),
                 "value": vals,
             }
             if has_metric:
-                out["metric"] = np.repeat(pdf["metric"].to_numpy(), ns)
+                out["metric"] = dic("metric")
             yield pd.DataFrame(out)
 
     schema = "conv_id string, tier string, bucket_ts timestamp, value double"

@@ -66,6 +66,18 @@ M_OBSERVED, M_SINGLE, M_LOWSIG, M_NUGGET, M_IDW, M_OK, M_NNB_FALLBACK, M_NNB, M_
 )
 
 
+def _row_max(a: np.ndarray) -> np.ndarray:
+    """max over axis=1 via a left-to-right np.maximum chain: bit-identical
+    to a.max(axis=1) (same left-to-right pair order; max is exact under
+    any association and NaN propagates identically) but ~4x faster on the
+    (G, k<=8) blocks this kernel reduces — numpy's strided maximum reduce
+    loop has no fast inner path (r8, measured 34 -> 8 us at (618, 8))."""
+    r = a[:, 0].copy()
+    for j in range(1, a.shape[1]):
+        np.maximum(r, a[:, j], out=r)
+    return r
+
+
 def fill_series(
     t: np.ndarray,
     v: np.ndarray,
@@ -132,8 +144,9 @@ def fill_series(
     miss = np.isnan(v)
     if not miss.any():
         return out, est_var, codes
-    ref_idx = np.flatnonzero(~miss)
-    gap_idx = np.flatnonzero(miss)
+    # .nonzero() on the 1-D mask == np.flatnonzero minus two wrapper layers
+    ref_idx = (~miss).nonzero()[0]
+    gap_idx = miss.nonzero()[0]
     if len(ref_idx) == 0:
         if codes is not None:
             codes[gap_idx] = M_EMPTY
@@ -169,23 +182,37 @@ def fill_series(
     # left one had the smaller window position), so nb/dists/zs are
     # bit-identical (500-case fuzz equality incl. symmetric-tie grids).
     # O(G*k) with no (G, 2k) temporaries instead of O(G*k log k).
-    pos = np.searchsorted(t_ref, t_gap)
-    lp = pos - 1
-    rp = pos.copy()
-    nb = np.empty((n_gap, k), dtype=np.int64)
-    dists = np.empty((n_gap, k), dtype=np.float64)
+    # Loop body leaned out (r8 second pass, measured 162 -> 93 us/group on
+    # the real ref density): +-inf sentinels at both ends of a padded
+    # timeline replace the two bounds clamps + wheres (an exhausted side
+    # reads the sentinel and yields distance +inf, the exact value the
+    # where produced); per-j outputs are written to contiguous rows of
+    # (k, G) arrays, exposed to the rest of the kernel as transposed views
+    # — every downstream op is elementwise or an explicit-axis reduce, so
+    # values and reduction order are identical regardless of memory order.
+    t_pad = np.empty(n_ref + 2, dtype=np.float64)
+    t_pad[0] = -np.inf
+    t_pad[-1] = np.inf
+    t_pad[1:-1] = t_ref
+    pos = t_ref.searchsorted(t_gap)
+    lp = pos            # padded index of the left candidate (ref i -> i+1)
+    rp = pos + 1        # padded index of the right candidate
+    nb_t = np.empty((k, n_gap), dtype=np.int64)
+    d_t = np.empty((k, n_gap), dtype=np.float64)
     for j in range(k):
-        dl = np.where(lp >= 0, t_gap - t_ref[np.maximum(lp, 0)], np.inf)
-        dr = np.where(rp < n_ref, t_ref[np.minimum(rp, n_ref - 1)] - t_gap,
-                      np.inf)
+        dl = t_gap - t_pad[lp]
+        dr = t_pad[rp] - t_gap
         left = dl <= dr
-        nb[:, j] = np.where(left, lp, rp)
-        dists[:, j] = np.where(left, dl, dr)
+        nb_t[j] = np.where(left, lp, rp)
+        np.minimum(dl, dr, out=d_t[j])
         lp -= left
-        rp += ~left
+        rp += 1
+        rp -= left
+    np.subtract(nb_t, 1, out=nb_t)      # back to unpadded ref indices
+    nb = nb_t.T                                                # (G, k)
+    dists = d_t.T                                              # (G, k)
     zs = v_ref[nb]                                             # (G, k)
 
-    zmax = zs.max(axis=1)
     # nearest-ref values are consumed only by the NNB branch and the kriging
     # fallback ladder; IDW never reads them, so skip the argmin + fancy
     # gather there (measured ~8% of the fused kernel's fill time, r8).
@@ -197,38 +224,54 @@ def fill_series(
         if (method == "NNB" or kriging) else None
     )
 
+    # g_rows is None == ALL gap rows survive the low-signal screen (the
+    # common case): downstream operates on the full (G, k) arrays directly
+    # instead of gathering copies through an all-true index — bit-identical
+    # (a gather of every row in order IS the array), saves three (G, k)
+    # copies + a flatnonzero per call (r8 fast path).
     if k == 1:
         out[gap_idx] = zs[:, 0]
         if codes is not None:
             codes[gap_idx] = M_SINGLE
-        rest = np.zeros(n_gap, dtype=bool)
+        do_rest = False
+        g_rows = None
     else:
-        lowsig = zmax < min_var_val_thresh
+        lowsig = _row_max(zs) < min_var_val_thresh
         if lowsig.any():
             out[gap_idx[lowsig]] = zs[lowsig].mean(axis=1)
             if codes is not None:
                 codes[gap_idx[lowsig]] = M_LOWSIG
-        rest = ~lowsig
+            rest = ~lowsig
+            do_rest = bool(rest.any())
+            g_rows = np.flatnonzero(rest) if do_rest else None
+        else:
+            do_rest = True
+            g_rows = None
 
-    if rest.any():
-        g_rows = np.flatnonzero(rest)
+    if do_rest:
+        whole = g_rows is None
         if method == "NNB":
-            out[gap_idx[g_rows]] = nearest[g_rows]
+            idx = gap_idx if whole else gap_idx[g_rows]
+            out[idx] = nearest if whole else nearest[g_rows]
             if codes is not None:
-                codes[gap_idx[g_rows]] = M_NNB
+                codes[idx] = M_NNB
 
         elif method == "IDW":
-            d = dists[g_rows]
-            dm = d.max(axis=1)
+            d = dists if whole else dists[g_rows]
+            z = zs if whole else zs[g_rows]
+            idx = gap_idx if whole else gap_idx[g_rows]
+            dm = _row_max(d)
             dn = np.where(dm[:, None] > 0, d / np.where(dm == 0, 1, dm)[:, None], d)
             wts = 1.0 / (dn ** idw_exp)
             wts_sum = wts.sum(axis=1)
             assert (wts_sum >= 1e-14).all(), wts_sum.min()
-            out[gap_idx[g_rows]] = (wts * zs[g_rows]).sum(axis=1) / wts_sum
+            out[idx] = (wts * z).sum(axis=1) / wts_sum
             if codes is not None:
-                codes[gap_idx[g_rows]] = M_IDW
+                codes[idx] = M_IDW
 
         elif method in ("OK", "SK", "EDK", "IK"):
+            if whole:
+                g_rows = np.arange(n_gap)
             kr_rows = g_rows
             if vg_gap is not None:
                 # per-row vg (regime path): P7 nuggetness decided per gap
@@ -286,7 +329,8 @@ def fill_series(
     if max_cut is not None:
         out[filled & (out > max_cut)] = max_cut
     if round_p is not None:
-        out[filled] = np.round(out[filled], round_p)
+        # ndarray.round IS np.round's array path, minus two wrapper layers
+        out[filled] = out[filled].round(round_p)
     return out, est_var, codes
 
 
@@ -913,7 +957,7 @@ def gapfill_virtual_chunks(
         else:
             first_all = pdf["_first"].to_numpy(np.int64)
             last_all = pdf["_last"].to_numpy(np.int64)
-        out_conv, out_t = [], []
+        out_conv_vals, out_conv_cnts, out_t = [], [], []
         out_v: dict = {m: [] for m in [value_col, *xcols]}
         for s, e in zip(starts, ends):
             c = ck_all[s]
@@ -948,22 +992,25 @@ def gapfill_virtual_chunks(
             if grid_min_ts is not None and g1 < grid_min_ts:
                 continue  # chunk wholly below the horizon: nothing to emit
             grid = np.arange(g0, g1 + 1, secs, dtype=np.int64)
-            # context refs outside the chunk window participate as refs
-            inside = (refs_t >= g0) & (refs_t <= g1)
-            t_ser = np.concatenate([refs_t[~inside], grid])
-            v_ser = np.concatenate(
-                [refs_v[~inside], np.full(len(grid), np.nan)]
-            )
-            pos = np.searchsorted(grid, refs_t[inside])
-            n_out = len(refs_t) - inside.sum()
-            v_ser[n_out + pos] = refs_v[inside]
-            order = np.argsort(t_ser, kind="stable")
-            t_ser, v_ser = t_ser[order], v_ser[order]
+            # context refs outside the chunk window participate as refs.
+            # refs_t is sorted and grid covers exactly [g0, g1], so the
+            # merged series is sorted BY CONSTRUCTION: refs below g0, then
+            # the grid (inside refs land on their grid slot — bucket epochs
+            # are multiples of secs), then refs above g1. No per-group
+            # argsort/boolean masks/gathers (r8 second pass; byte-identical
+            # output on the full sf0.1 kernel input, asserted offline).
+            nl = int(refs_t.searchsorted(g0, side="left"))
+            nr = int(refs_t.searchsorted(g1, side="right"))
+            pos = grid.searchsorted(refs_t[nl:nr])
+            t_ser = np.concatenate([refs_t[:nl], grid, refs_t[nr:]])
+            v_mid = np.full(len(grid), np.nan)
+            v_mid[pos] = refs_v[nl:nr]
+            v_ser = np.concatenate([refs_v[:nl], v_mid, refs_v[nr:]])
             x_sers = []
             for xa in refs_x:
-                xs = np.concatenate([xa[~inside], np.full(len(grid), np.nan)])
-                xs[n_out + pos] = xa[inside]
-                x_sers.append(xs[order])
+                x_mid = np.full(len(grid), np.nan)
+                x_mid[pos] = xa[nl:nr]
+                x_sers.append(np.concatenate([xa[:nl], x_mid, xa[nr:]]))
             d_ser = None
             if dcols:
                 # gap-point drift = exact bucket lookup in the drift rows
@@ -974,8 +1021,8 @@ def gapfill_virtual_chunks(
                     gp = np.searchsorted(dt, grid)
                     okm = (gp < len(dt)) & (dt[np.minimum(gp, len(dt) - 1)] == grid)
                     d_grid[okm] = dmat[gp[okm]]
-                d_grid[pos] = d_ref[inside]
-                d_ser = np.concatenate([d_ref[~inside], d_grid])[order]
+                d_grid[pos] = d_ref[nl:nr]
+                d_ser = np.concatenate([d_ref[:nl], d_grid, d_ref[nr:]])
             vg = None
             if kriging:
                 vgg = vg_all[ridx]
@@ -984,11 +1031,15 @@ def gapfill_virtual_chunks(
             filled, _ev, _cd = fill_series(
                 t_ser, v_ser, vg_str=vg, drifts=d_ser,
                 pinv_cache=_vcache, **kw)
-            keep = (t_ser >= g0) & (t_ser <= g1)
-            if grid_min_ts is not None:
-                keep &= t_ser >= grid_min_ts
-            out_conv.append(np.repeat(conv_all[s], keep.sum()))
-            out_t.append(t_ser[keep])
+            # kept rows = the grid portion (outside refs are strictly
+            # outside [g0, g1]), optionally horizon-trimmed — a slice, not
+            # a boolean mask; conv ids are repeated ONCE per batch below.
+            m0 = (0 if grid_min_ts is None
+                  else int(grid.searchsorted(grid_min_ts, side="left")))
+            keep = slice(nl + m0, nl + len(grid))
+            out_conv_vals.append(conv_all[s])
+            out_conv_cnts.append(len(grid) - m0)
+            out_t.append(grid[m0:])
             out_v[value_col].append(filled[keep])
             # metrics 2..k: same grid, same vg, same drifts — the pinv
             # cache keys on ref-time geometry, so the kriging solve is
@@ -998,9 +1049,10 @@ def gapfill_virtual_chunks(
                     t_ser, xs, vg_str=vg, drifts=d_ser,
                     pinv_cache=_vcache, **kw)
                 out_v[xname].append(fx[keep])
-        empty = not out_conv
+        empty = not out_conv_vals
         conv_cat = (np.array([], dtype=object) if empty
-                    else np.concatenate(out_conv))
+                    else np.repeat(np.array(out_conv_vals, dtype=object),
+                                   out_conv_cnts))
         t_cat = (np.array([], dtype=np.int64) if empty
                  else np.concatenate(out_t))
 

@@ -261,7 +261,15 @@ def fill_series(
             z = zs if whole else zs[g_rows]
             idx = gap_idx if whole else gap_idx[g_rows]
             dm = _row_max(d)
-            dn = np.where(dm[:, None] > 0, d / np.where(dm == 0, 1, dm)[:, None], d)
+            if (dm > 0).all():
+                # the always-in-practice case (a zero max distance needs
+                # every neighbor at the gap's own timestamp): the generic
+                # expression below reduces to the plain division when no
+                # dm is 0 — identical values, two wheres fewer (r8)
+                dn = d / dm[:, None]
+            else:
+                dn = np.where(
+                    dm[:, None] > 0, d / np.where(dm == 0, 1, dm)[:, None], d)
             wts = 1.0 / (dn ** idw_exp)
             wts_sum = wts.sum(axis=1)
             assert (wts_sum >= 1e-14).all(), wts_sum.min()

@@ -63,10 +63,10 @@ def _prep_windows(streams: list):
                        count=len(streams))
     base_bytes = np.concatenate(([0], np.cumsum(lens)))
     buf = np.frombuffer(b"".join(streams), dtype=np.uint8)
-    # +24 pad: an INACTIVE lane still evaluates the window gather every
-    # lockstep iteration; an empty stream at the buffer's very end parks
-    # its (never-advancing) pos at base+64 bits, whose gather reaches
-    # total_bytes + 8 + 8 bytes — keep that in bounds.
+    # +24 pad: a token at the very end of the last stream still gathers a
+    # full 64-bit window (plus the b8 byte) beyond its final payload bit —
+    # e.g. a '11' value token reads bits [pos+14, pos+14+64) + 8 more,
+    # up to ~9 bytes past the buffer. Keep those reads in bounds.
     pad = np.zeros(len(buf) + 24, dtype=np.uint8)
     pad[: len(buf)] = buf
     a = pad.astype(np.uint64)
@@ -98,43 +98,52 @@ def decode_vals_many(first_vals: np.ndarray, streams: list,
         return xs.view(np.float64)
     base_out = np.concatenate(([0], np.cumsum(ns)))[:-1]
     firsts = np.ascontiguousarray(first_vals, dtype=np.float64).view(np.uint64)
-    n_tok = np.maximum(ns - 1, 0).astype(np.uint64)
     if C == 0 or not (ns > 1).any():
         out = xs
         out[base_out] = firsts
         return out.view(np.float64)
     v64, b8, base_bits = _prep_windows(streams)
-    pos = base_bits.astype(np.uint64)
-    i = np.zeros(C, dtype=np.uint64)
+    # lanes sorted by DESCENDING token count: the active set at lockstep
+    # iteration j is a PREFIX of the sorted order (same trick as the
+    # encoder's window-reuse loop, r8 third pass), so every op slices
+    # exactly the active lanes instead of masking all C; and since every
+    # active lane consumes one token per iteration, the per-lane token
+    # counter IS the loop index — it disappears.
+    n_tok_i = np.maximum(ns - 1, 0)
+    order = np.argsort(-n_tok_i, kind="stable")
+    n_tok_s = n_tok_i[order]
+    pos = base_bits.astype(np.uint64)[order]
+    base_out_s = base_out[order]
     L = np.ones(C, dtype=np.uint64)      # window length; lanes never read it
     sh = np.zeros(C, dtype=np.uint64)    # before their first '11' token
-    active = i < n_tok
     one = U64(1)
-    while active.any():
-        w = _window(v64, b8, pos)
+    A = int((n_tok_s > 0).sum())
+    j = 0
+    while A > 0:
+        pa = pos[:A]
+        w = _window(v64, b8, pa)
         c1 = (w >> U64(63)).astype(bool)
         c2 = ((w >> U64(62)) & one).astype(bool)
-        is0 = active & ~c1
-        is10 = active & c1 & ~c2
-        is11 = active & c1 & c2
+        is10 = c1 & ~c2
+        is11 = c1 & c2
         if is11.any():
             hdr = (w << U64(2)) >> U64(52)
             newL = (hdr & U64(63)) + one
             newsh = U64(64) - (hdr >> U64(6)) - newL
-            L = np.where(is11, newL, L)
-            sh = np.where(is11, newsh, sh)
-        nz = is10 | is11
-        if nz.any():
-            o = pos + np.where(is11, U64(14), U64(2))
+            L[:A] = np.where(is11, newL, L[:A])
+            sh[:A] = np.where(is11, newsh, sh[:A])
+        if c1.any():
+            o = pa + np.where(is11, U64(14), U64(2))
             w2 = _window(v64, b8, o)
-            x = (w2 >> (U64(64) - L)) << sh
-            idx = base_out + 1 + i.astype(np.int64)
-            xs[idx[nz]] = x[nz]
-        adv = np.where(is0, one,
-                       np.where(is10, U64(2) + L, U64(14) + L))
-        pos += np.where(active, adv, U64(0))
-        i += active.astype(np.uint64)
-        active = i < n_tok
+            x = (w2 >> (U64(64) - L[:A])) << sh[:A]
+            idx = base_out_s[:A] + 1 + j
+            xs[idx[c1]] = x[c1]
+        adv = np.where(~c1, one,
+                       np.where(is10, U64(2) + L[:A], U64(14) + L[:A]))
+        pos[:A] = pa + adv
+        j += 1
+        while A > 0 and n_tok_s[A - 1] <= j:
+            A -= 1
     # segmented XOR prefix scan: xs[base]=0, firsts folded via correction
     acc = np.bitwise_xor.accumulate(xs)
     pre = np.where(base_out > 0, acc[np.maximum(base_out - 1, 0)], U64(0))
@@ -161,20 +170,26 @@ def decode_ts_many(first_ts: np.ndarray, streams: list,
         # first delta: raw 64 bits at the (byte-aligned) stream start
         k0 = (base_bits[has_d] >> 3).astype(np.int64)
         deltas[dbase[has_d]] = v64[k0]
-    n_tok = np.maximum(ns - 2, 0).astype(np.uint64)
-    pos = base_bits.astype(np.uint64) + U64(64)
-    i = np.zeros(C, dtype=np.uint64)
-    active = i < n_tok
+    # same sorted-prefix lockstep as decode_vals_many: active lanes are a
+    # prefix of the count-descending order, the token counter is the loop
+    # index, and every op runs on exactly the active slice.
+    n_tok_i = np.maximum(ns - 2, 0)
+    order = np.argsort(-n_tok_i, kind="stable")
+    n_tok_s = n_tok_i[order]
+    pos = base_bits.astype(np.uint64)[order] + U64(64)
+    dbase_s = dbase[order]
     one = U64(1)
-    while active.any():
-        w = _window(v64, b8, pos)
+    A = int((n_tok_s > 0).sum())
+    j = 0
+    while A > 0:
+        pa = pos[:A]
+        w = _window(v64, b8, pa)
         c4 = w >> U64(60)
-        is0 = active & (c4 < U64(8))
-        is7 = active & (c4 >= U64(8)) & (c4 < U64(12))
-        is9 = active & (c4 >= U64(12)) & (c4 < U64(14))
-        is12 = active & (c4 == U64(14))
-        is64 = active & (c4 == U64(15))
-        d = np.zeros(C, dtype=np.uint64)
+        is7 = (c4 >= U64(8)) & (c4 < U64(12))
+        is9 = (c4 >= U64(12)) & (c4 < U64(14))
+        is12 = c4 == U64(14)
+        is64 = c4 == U64(15)
+        d = np.zeros(A, dtype=np.uint64)
         if is7.any():
             p = (w << U64(2)) >> U64(57)
             d = np.where(is7, (p ^ U64(0x40)) - U64(0x40), d)
@@ -185,19 +200,20 @@ def decode_ts_many(first_ts: np.ndarray, streams: list,
             p = (w << U64(4)) >> U64(52)
             d = np.where(is12, (p ^ U64(0x800)) - U64(0x800), d)
         if is64.any():
-            w2 = _window(v64, b8, pos + U64(4))
+            w2 = _window(v64, b8, pa + U64(4))
             d = np.where(is64, w2, d)
-        nz = is7 | is9 | is12 | is64
+        nz = c4 >= U64(8)
         if nz.any():
-            idx = dbase + 1 + i.astype(np.int64)
+            idx = dbase_s[:A] + 1 + j
             deltas[idx[nz]] = d[nz]
-        adv = np.where(is0, one,
+        adv = np.where(c4 < U64(8), one,
               np.where(is7, U64(9),
               np.where(is9, U64(12),
               np.where(is12, U64(16), U64(68)))))
-        pos += np.where(active, adv, U64(0))
-        i += active.astype(np.uint64)
-        active = i < n_tok
+        pos[:A] = pa + adv
+        j += 1
+        while A > 0 and n_tok_s[A - 1] <= j:
+            A -= 1
     # deltas hold [delta0, dod1, ...] per chunk: segmented cumsum -> true
     # deltas; a second segmented cumsum with firsts -> timestamps.
     if len(deltas):
@@ -414,20 +430,33 @@ def encode_vals_many(v_flat: np.ndarray, starts: np.ndarray) -> list:
     nz_per_lane = np.bincount(lane_of_nz, minlength=C)
     nzbase = np.concatenate(([0], np.cumsum(nz_per_lane)))[:-1]
     maxJ = int(nz_per_lane.max())
-    prev_lead = np.full(C, 65, dtype=np.int64)
+    # lanes sorted by DESCENDING nz count: the active set at lockstep
+    # iteration j is then a PREFIX of the sorted order, so each iteration
+    # slices exactly the active lanes instead of masking all C — total
+    # element-work O(total nz tokens) instead of O(C * maxJ) (real batches
+    # measured 2-4x waste, r8 third pass). The per-lane state machine is
+    # untouched: an inactive lane's state is simply never read or written,
+    # which is exactly what the act mask guaranteed.
+    order = np.argsort(-nz_per_lane, kind="stable")
+    counts_s = nz_per_lane[order]
+    nzbase_s = nzbase[order]
+    prev_lead = np.full(C, 65, dtype=np.int64)   # state in sorted-lane order
     prev_len = np.zeros(C, dtype=np.int64)
     fits_all = np.zeros(n_nz, dtype=bool)
+    A = int((counts_s > 0).sum())
     for j in range(maxJ):
-        act = nz_per_lane > j
-        ii = np.minimum(nzbase + j, n_nz - 1)
+        while A > 0 and counts_s[A - 1] <= j:
+            A -= 1
+        ii = nzbase_s[:A] + j
         lead = lead_nz[ii]
         trail = trail_nz[ii]
-        fits = act & (prev_lead <= lead) & \
-            ((64 - prev_lead - prev_len) <= trail)
-        renew = act & ~fits
-        prev_lead = np.where(renew, lead, prev_lead)
-        prev_len = np.where(renew, 64 - lead - trail, prev_len)
-        fits_all[ii[act]] = fits[act]
+        pl = prev_lead[:A]
+        pn = prev_len[:A]
+        fits = (pl <= lead) & ((64 - pl - pn) <= trail)
+        renew = ~fits
+        prev_lead[:A] = np.where(renew, lead, pl)
+        prev_len[:A] = np.where(renew, 64 - lead - trail, pn)
+        fits_all[ii] = fits
     fits = fits_all
     # window in effect at each nz token = most recent RENEW row's (lead,
     # len) within the lane; the lane's first nz token always renews, so a
